@@ -1,0 +1,267 @@
+"""Configuration system.
+
+Replaces the reference's OmegaConf-with-runtime-mutation pattern
+(reference: scripts/vid2vid.py:85-86,147-154,188-196 mutates the config as a
+runtime channel) with an immutable ``RunConfig`` loaded from the same YAML
+schema (reference: configs/prompts/SampleConfig.yaml), an immutable
+``ArchConfig`` (reference: configs/inference/inference-v{1,2}.yaml), and an
+explicit per-window ``StitchState`` carrying the mutable generation state.
+
+The YAML key names are kept identical to the reference's user configs so that
+``configs/prompts/SampleConfig*.yaml`` files run unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Optional, Sequence
+
+import yaml
+
+
+def _as_bool(v: Any) -> bool:
+    if isinstance(v, str):
+        return v.strip().lower() in ("1", "true", "yes", "y")
+    return bool(v)
+
+
+def _parse_hms(s: Optional[str]) -> Optional[float]:
+    """Parse 'HH:MM:SS' to seconds (reference: scripts/vid2vid.py:64-77)."""
+    if not s:
+        return None
+    t = time.strptime(str(s), "%H:%M:%S")
+    return t.tm_hour * 3600 + t.tm_min * 60 + t.tm_sec
+
+
+@dataclass(frozen=True)
+class MotionModuleConfig:
+    """Motion-module topology (reference: configs/inference/inference-v2.yaml
+    ``unet_additional_kwargs.motion_module_kwargs``)."""
+
+    num_attention_heads: int = 8
+    num_transformer_block: int = 1
+    attention_block_types: tuple[str, ...] = ("Temporal_Self", "Temporal_Self")
+    temporal_position_encoding: bool = True
+    temporal_position_encoding_max_len: int = 32
+    temporal_attention_dim_div: int = 1
+
+
+@dataclass(frozen=True)
+class ArchConfig:
+    """UNet inflation architecture config
+    (reference: configs/inference/inference-v{1,2}.yaml unet_additional_kwargs
+    consumed by animatediff/models/unet.py:62-74)."""
+
+    use_inflated_groupnorm: bool = True
+    unet_use_cross_frame_attention: bool = False
+    unet_use_temporal_attention: bool = False
+    use_motion_module: bool = True
+    motion_module_resolutions: tuple[int, ...] = (1, 2, 4, 8)
+    motion_module_mid_block: bool = True
+    motion_module_decoder_only: bool = False
+    motion_module_type: str = "Vanilla"
+    motion_module: MotionModuleConfig = field(default_factory=MotionModuleConfig)
+    # noise_scheduler_kwargs
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    beta_schedule: str = "linear"
+    num_train_timesteps: int = 1000
+    steps_offset: int = 1
+    clip_sample: bool = False
+
+    @staticmethod
+    def from_yaml(path: str | Path) -> "ArchConfig":
+        raw = yaml.safe_load(Path(path).read_text())
+        uak = dict(raw.get("unet_additional_kwargs") or {})
+        nsk = dict(raw.get("noise_scheduler_kwargs") or {})
+        mm_kwargs = dict(uak.pop("motion_module_kwargs", {}) or {})
+        mm = MotionModuleConfig(
+            num_attention_heads=int(mm_kwargs.get("num_attention_heads", 8)),
+            num_transformer_block=int(mm_kwargs.get("num_transformer_block", 1)),
+            attention_block_types=tuple(
+                mm_kwargs.get("attention_block_types", ("Temporal_Self", "Temporal_Self"))
+            ),
+            temporal_position_encoding=_as_bool(
+                mm_kwargs.get("temporal_position_encoding", True)
+            ),
+            temporal_position_encoding_max_len=int(
+                mm_kwargs.get("temporal_position_encoding_max_len", 24)
+            ),
+            temporal_attention_dim_div=int(mm_kwargs.get("temporal_attention_dim_div", 1)),
+        )
+        return ArchConfig(
+            use_inflated_groupnorm=_as_bool(uak.get("use_inflated_groupnorm", False)),
+            unet_use_cross_frame_attention=_as_bool(
+                uak.get("unet_use_cross_frame_attention", False)
+            ),
+            unet_use_temporal_attention=_as_bool(uak.get("unet_use_temporal_attention", False)),
+            use_motion_module=_as_bool(uak.get("use_motion_module", True)),
+            motion_module_resolutions=tuple(uak.get("motion_module_resolutions", (1, 2, 4, 8))),
+            motion_module_mid_block=_as_bool(uak.get("motion_module_mid_block", False)),
+            motion_module_decoder_only=_as_bool(uak.get("motion_module_decoder_only", False)),
+            motion_module_type=str(uak.get("motion_module_type", "Vanilla")),
+            motion_module=mm,
+            beta_start=float(nsk.get("beta_start", 0.00085)),
+            beta_end=float(nsk.get("beta_end", 0.012)),
+            beta_schedule=str(nsk.get("beta_schedule", "linear")),
+            num_train_timesteps=int(nsk.get("num_train_timesteps", 1000)),
+            steps_offset=int(nsk.get("steps_offset", 1)),
+            clip_sample=_as_bool(nsk.get("clip_sample", False)),
+        )
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    """User/run configuration — one field per key of the reference's
+    ``configs/prompts/*.yaml`` schema (reference: SampleConfig.yaml:1-119)."""
+
+    # inputs / outputs
+    input_video_path: str = ""
+    output_video_dir: str = "output"
+    save_frames: bool = False
+    width: int = 512
+    height: int = 512
+    prompt: str = ""
+    n_prompt: str = ""
+    start_time: Optional[str] = None
+    end_time: Optional[str] = None
+
+    # generation modes
+    overlap_strength: float = 0.92
+    use_lcm: bool = False
+    use_img2img: bool = False
+
+    # models
+    pretrained_model_path: str = ""
+    vae_path: Optional[str] = None
+    dreambooth_path: Optional[str] = None
+    lora_model_paths: tuple[str, ...] = ()
+    lora_weights: tuple[float, ...] = ()
+    inference_config_path: str = "configs/inference/inference-v2.yaml"
+    motion_module: Optional[str] = None
+    motion_lora_paths: tuple[str, ...] = ()
+    motion_lora_alphas: tuple[float, ...] = ()
+    lcm_model_path: str = "models/LCM_Dreamshaper_v7"
+
+    # controlnets
+    controlnets: tuple[str, ...] = ()
+    cond_scale: tuple[float, ...] = ()
+    guess_mode: bool = False
+    loop_back_frames: bool = False
+
+    # ip-adapter
+    use_ipadapter: bool = False
+    ipa_scale: float = 0.65
+    do_initial_generation: bool = False
+    ipadapter_image_encoder_path: Optional[str] = None
+    ipadapter_ckpt_path: Optional[str] = None
+
+    # upscaler
+    upscale: float = 1.0
+    use_face_enhancer: bool = False
+    upscale_first: bool = False
+    upscaler_model_path: Optional[str] = None
+    face_enhancer_model_path: Optional[str] = None
+
+    # window geometry
+    frame_count: int = 16
+    overlap_length: int = 8
+
+    # sampling
+    seed: int = -1
+    steps: int = 30
+    guidance_scale: float = 7.5
+    strength: float = 1.0
+    scheduler: str = "EulerDiscreteScheduler"
+    lcm_origin_steps: int = 50
+
+    # media
+    fps: int = 15
+    fps_ffmpeg: int = 30
+    crf: int = 23
+    ffmpeg_path: str = "ffmpeg"
+
+    # textual inversion
+    textual_inversion_paths: tuple[str, ...] = ("models/TI/easynegative.safetensors",)
+
+    # tpu execution policy (new; no reference equivalent — the reference
+    # hardcodes "cuda" + .half(), modules/controlanimate_pipeline.py:68,108-110)
+    dtype: str = "bfloat16"
+    mesh_shape: tuple[int, ...] = ()
+    mesh_axes: tuple[str, ...] = ("data", "context")
+    use_pallas_attention: bool = True
+
+    # extras bag for forward-compat keys
+    extras: dict = field(default_factory=dict, hash=False, compare=False)
+
+    @property
+    def start_seconds(self) -> Optional[float]:
+        return _parse_hms(self.start_time)
+
+    @property
+    def end_seconds(self) -> Optional[float]:
+        return _parse_hms(self.end_time)
+
+    @staticmethod
+    def from_yaml(path: str | Path) -> "RunConfig":
+        raw = yaml.safe_load(Path(path).read_text()) or {}
+        return RunConfig.from_dict(raw)
+
+    @staticmethod
+    def from_dict(raw: dict) -> "RunConfig":
+        known = {f.name: f for f in dataclasses.fields(RunConfig)}
+        bool_keys = {
+            "save_frames", "use_lcm", "use_img2img", "guess_mode",
+            "loop_back_frames", "use_ipadapter", "do_initial_generation",
+            "use_face_enhancer", "upscale_first", "use_pallas_attention",
+        }
+        tuple_keys = {
+            "lora_model_paths", "lora_weights", "controlnets", "cond_scale",
+            "motion_lora_paths", "motion_lora_alphas", "textual_inversion_paths",
+            "mesh_shape", "mesh_axes",
+        }
+        kwargs: dict[str, Any] = {}
+        extras: dict[str, Any] = {}
+        for k, v in raw.items():
+            if k not in known:
+                extras[k] = v
+                continue
+            if k in bool_keys:
+                v = _as_bool(v)
+            elif k in tuple_keys:
+                v = tuple(v) if v is not None else ()
+            elif v is not None and known[k].type in ("int", int):
+                v = int(v)
+            kwargs[k] = v
+        kwargs["extras"] = extras
+        return RunConfig(**kwargs)
+
+    def replace(self, **kw) -> "RunConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass
+class StitchState:
+    """Per-window mutable generation state, made explicit.
+
+    The reference smuggles all of this through config mutation and local
+    variables in the epoch loop (scripts/vid2vid.py:153-231).
+    """
+
+    epoch: int = 0
+    seed: int = 0
+    # previous window's *output* frames for the overlap slots (uint8 HWC arrays)
+    overlap_frames: list = field(default_factory=list)
+    # previous window's *input* frames re-presented in the overlap slots
+    overlap_input_frames: list = field(default_factory=list)
+    # anchors for img2img / IP-Adapter (reference: vid2vid.py:229-231)
+    last_output_frames: list = field(default_factory=list)
+    # color-match reference frame (reference: vid2vid.py:220)
+    last_output_frame: Optional[Any] = None
+
+    @property
+    def overlap_length(self) -> int:
+        return len(self.overlap_frames)

@@ -1,0 +1,185 @@
+"""AutoencoderKL (SD1.5 VAE) in Flax, channels-last.
+
+Capability parity with the VAE the reference loads from the SD snapshot or a
+single-file checkpoint (reference: modules/controlanimate_pipeline.py:37-40)
+and uses per-frame for latent encode/decode (reference:
+animatediff/pipelines/controlanimation_pipeline.py:501-514,565-588 — which
+decodes one frame at a time in a Python loop; here encode/decode are jitted
+over the whole frame batch).
+
+Architecture contract (SD1.5 `vae/config.json`): block_out (128,256,512,512),
+2 encoder resnets + 3 decoder resnets per block, mid attn at 512ch,
+latent_channels=4, scaling_factor 0.18215.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import GroupNorm
+from ..ops.attention import dot_product_attention
+
+
+class VaeResnetBlock(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        h = GroupNorm(32, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1", dtype=self.dtype)(h)
+        h = GroupNorm(32, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2", dtype=self.dtype)(h)
+        if in_ch != self.out_channels:
+            x = nn.Conv(
+                self.out_channels, (1, 1), name="conv_shortcut", dtype=self.dtype
+            )(x)
+        return x + h
+
+
+class VaeAttnBlock(nn.Module):
+    """Single-head spatial self-attention at the VAE mid block."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        h = GroupNorm(32, name="group_norm")(x).reshape(B, H * W, C)
+        q = nn.Dense(C, name="to_q", dtype=self.dtype)(h)
+        k = nn.Dense(C, name="to_k", dtype=self.dtype)(h)
+        v = nn.Dense(C, name="to_v", dtype=self.dtype)(h)
+        out = dot_product_attention(
+            q[:, :, None, :], k[:, :, None, :], v[:, :, None, :]
+        )[:, :, 0, :]
+        out = nn.Dense(C, name="to_out_0", dtype=self.dtype)(out)
+        return x + out.reshape(B, H, W, C)
+
+
+class Downsample2D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # SD VAE uses asymmetric padding (0,1,0,1) with stride 2
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        return nn.Conv(
+            self.out_channels, (3, 3), strides=2, padding="VALID", name="conv", dtype=self.dtype
+        )(x)
+
+
+class Upsample2D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+        return nn.Conv(self.out_channels, (3, 3), padding=1, name="conv", dtype=self.dtype)(x)
+
+
+class Encoder(nn.Module):
+    block_out_channels: Sequence[int] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    latent_channels: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ch = self.block_out_channels
+        h = nn.Conv(ch[0], (3, 3), padding=1, name="conv_in", dtype=self.dtype)(x)
+        for i, c in enumerate(ch):
+            for j in range(self.layers_per_block):
+                h = VaeResnetBlock(c, name=f"down_{i}_res_{j}", dtype=self.dtype)(h)
+            if i < len(ch) - 1:
+                h = Downsample2D(c, name=f"down_{i}_downsample", dtype=self.dtype)(h)
+        h = VaeResnetBlock(ch[-1], name="mid_res_0", dtype=self.dtype)(h)
+        h = VaeAttnBlock(name="mid_attn", dtype=self.dtype)(h)
+        h = VaeResnetBlock(ch[-1], name="mid_res_1", dtype=self.dtype)(h)
+        h = GroupNorm(32, name="conv_norm_out")(h)
+        h = nn.silu(h)
+        return nn.Conv(
+            2 * self.latent_channels, (3, 3), padding=1, name="conv_out", dtype=self.dtype
+        )(h)
+
+
+class Decoder(nn.Module):
+    block_out_channels: Sequence[int] = (128, 256, 512, 512)
+    layers_per_block: int = 3
+    out_channels: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        ch = list(reversed(self.block_out_channels))  # (512,512,256,128)
+        h = nn.Conv(ch[0], (3, 3), padding=1, name="conv_in", dtype=self.dtype)(z)
+        h = VaeResnetBlock(ch[0], name="mid_res_0", dtype=self.dtype)(h)
+        h = VaeAttnBlock(name="mid_attn", dtype=self.dtype)(h)
+        h = VaeResnetBlock(ch[0], name="mid_res_1", dtype=self.dtype)(h)
+        for i, c in enumerate(ch):
+            for j in range(self.layers_per_block):
+                h = VaeResnetBlock(c, name=f"up_{i}_res_{j}", dtype=self.dtype)(h)
+            if i < len(ch) - 1:
+                h = Upsample2D(c, name=f"up_{i}_upsample", dtype=self.dtype)(h)
+        h = GroupNorm(32, name="conv_norm_out")(h)
+        h = nn.silu(h)
+        return nn.Conv(
+            self.out_channels, (3, 3), padding=1, name="conv_out", dtype=self.dtype
+        )(h)
+
+
+class AutoencoderKL(nn.Module):
+    """KL-VAE with diffusers-compatible quant convs and scaling factor."""
+
+    block_out_channels: Sequence[int] = (128, 256, 512, 512)
+    latent_channels: int = 4
+    scaling_factor: float = 0.18215
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = Encoder(
+            block_out_channels=self.block_out_channels,
+            latent_channels=self.latent_channels,
+            dtype=self.dtype,
+        )
+        self.decoder = Decoder(
+            block_out_channels=self.block_out_channels,
+            dtype=self.dtype,
+        )
+        self.quant_conv = nn.Conv(2 * self.latent_channels, (1, 1), dtype=self.dtype)
+        self.post_quant_conv = nn.Conv(self.latent_channels, (1, 1), dtype=self.dtype)
+
+    def encode_moments(self, x):
+        """x: (B, H, W, 3) in [-1, 1] -> (mean, logvar), each (B, H/8, W/8, 4)."""
+        moments = self.quant_conv(self.encoder(x))
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        return mean, jnp.clip(logvar, -30.0, 20.0)
+
+    def encode(self, x, key=None):
+        """Encode to *scaled* latents. With a key, samples the posterior;
+        without, returns the mode (the reference samples with its generator,
+        controlanimation_pipeline.py:569-575)."""
+        mean, logvar = self.encode_moments(x)
+        if key is not None:
+            std = jnp.exp(0.5 * logvar)
+            mean = mean + std * jax.random.normal(key, mean.shape, mean.dtype)
+        return mean * self.scaling_factor
+
+    def decode(self, z):
+        """Decode *scaled* latents to (B, H, W, 3) in [-1, 1]
+        (the /scaling_factor matches reference decode_latents :505)."""
+        z = z / self.scaling_factor
+        return self.decoder(self.post_quant_conv(z))
+
+    def __call__(self, x, key=None):
+        z = self.encode(x, key)
+        return self.decode(z)

@@ -1,0 +1,74 @@
+"""Attention dispatch: XLA fused attention by default, Pallas flash kernels
+on TPU for the hot shapes.
+
+Replaces the reference's xformers/SDPA split (reference:
+modules/controlanimate_pipeline.py:111-116 enables xformers only without
+IP-Adapter; modules/attention_processor.py:454-472 uses torch SDPA).
+Here a single entry point picks the best backend for the layout.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_PALLAS_ENABLED = True
+_PALLAS_MIN_SEQ = 256  # below this XLA's fused attention is already optimal
+
+
+def set_pallas_enabled(flag: bool) -> None:
+    global _PALLAS_ENABLED
+    _PALLAS_ENABLED = bool(flag)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def reference_attention(q, k, v, mask=None, upcast=False):
+    """Plain-einsum attention; numerically the oracle for kernel tests.
+
+    Layout: (B, N, H, D).
+    """
+    orig_dtype = q.dtype
+    if upcast:
+        q, k, v = q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(logits.dtype).min)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    return out.astype(orig_dtype)
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    upcast: bool = False,
+) -> jnp.ndarray:
+    """Attention over (B, N, H, D) tensors.
+
+    On TPU with large sequence lengths this dispatches to the Pallas flash
+    kernel (ops/flash_attention.py); otherwise XLA's fused attention path.
+    """
+    seq_q, seq_k = q.shape[1], k.shape[1]
+    if _PALLAS_ENABLED and _on_tpu() and mask is None and seq_q >= _PALLAS_MIN_SEQ:
+        try:
+            from .flash_attention import flash_attention
+
+            return flash_attention(q, k, v)
+        except Exception:
+            pass
+    # jax.nn.dot_product_attention expects BTNH, which matches our layout
+    if mask is None and not upcast:
+        return jax.nn.dot_product_attention(q, k, v)
+    return reference_attention(q, k, v, mask=mask, upcast=upcast)

@@ -1,0 +1,28 @@
+"""Test harness: force a virtual 8-device CPU platform before jax imports so
+every test (including mesh/sharding tests) runs without TPU hardware."""
+
+import os
+
+# Hard override: the session environment presets JAX_PLATFORMS=axon (the real
+# TPU tunnel); tests must run on the virtual 8-device CPU platform.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+import jax  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    devs = jax.devices()
+    assert len(devs) >= 8, f"expected >=8 virtual devices, got {len(devs)}"
+    return devs[:8]

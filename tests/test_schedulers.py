@@ -1,0 +1,180 @@
+"""Scheduler numerics: analytic oracle tests.
+
+Strategy: feed each sampler a *consistent oracle model* — the exact epsilon
+for a fixed clean latent x0 under the sampler's own noise convention — and
+assert the trajectory recovers x0. This catches sign/table/indexing errors
+without needing golden files from the torch reference.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from controlanimate_tpu.schedulers import make_schedule, make_scheduler
+
+SCHED = make_schedule(1000, 0.00085, 0.012, "linear")
+SHAPE = (2, 4, 3, 8, 8)  # b c f h w
+
+
+def run_sampler(sched, x0, key, oracle):
+    """Run the full denoise loop with lax.scan, as the pipeline will."""
+    kinit, kloop = jax.random.split(key)
+    noise = jax.random.normal(kinit, x0.shape, jnp.float32)
+    sample = sched.add_noise(x0, noise, 0) if sched.init_noise_sigma == 1.0 else None
+    if sample is None:
+        sample = noise * sched.init_noise_sigma
+        # for sigma-space samplers starting from pure noise isn't an x0 test;
+        # instead noise to step 0 level
+        sample = sched.add_noise(x0, noise, 0)
+
+    state = sched.init_state(x0.shape)
+    ts = jnp.asarray(np.round(sched.timesteps).astype(np.int64))
+
+    def body(carry, i):
+        sample, state = carry
+        model_in = sched.scale_model_input(i, sample)
+        eps = oracle(model_in, sample, i, ts[i])
+        key_i = jax.random.fold_in(kloop, i)
+        sample, state = sched.step(i, eps, sample, state, key_i)
+        return (sample, state), None
+
+    (final, _), _ = jax.lax.scan(body, (sample, state), jnp.arange(sched.num_steps))
+    return final
+
+
+def ddpm_oracle(x0):
+    """Exact epsilon given sample = sqrt(abar) x0 + sqrt(1-abar) eps."""
+    abar = jnp.asarray(SCHED.alphas_cumprod, jnp.float32)
+
+    def oracle(model_in, sample, i, t):
+        a = abar[t]
+        return (sample - jnp.sqrt(a) * x0) / jnp.sqrt(1.0 - a)
+
+    return oracle
+
+
+def sigma_oracle(x0, sched):
+    """Exact epsilon for sigma-space samplers: model input is x/sqrt(s^2+1),
+    and eps = (x - x0)/sigma."""
+
+    def oracle(model_in, sample, i, t):
+        sigma = sched.sigmas[i]
+        return (sample - x0) / sigma
+
+    return oracle
+
+
+@pytest.mark.parametrize("name", ["DDIMScheduler", "PNDMScheduler", "DPMSolverMultistepScheduler"])
+def test_ddpm_space_samplers_recover_x0(name):
+    sched = make_scheduler(name, SCHED, 20)
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), SHAPE, jnp.float32)
+    final = run_sampler(sched, x0, key, ddpm_oracle(x0))
+    # abar[0] ~= 1 - 0.00085, residual noise floor ~ sqrt(0.00085) ~ 0.03
+    assert float(jnp.max(jnp.abs(final - x0))) < 0.2, name
+    assert float(jnp.mean(jnp.abs(final - x0))) < 0.05, name
+
+
+@pytest.mark.parametrize(
+    "name", ["EulerDiscreteScheduler", "EulerAncestralDiscreteScheduler", "LMSDiscreteScheduler"]
+)
+def test_sigma_space_samplers_recover_x0(name):
+    sched = make_scheduler(name, SCHED, 20)
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), SHAPE, jnp.float32)
+    final = run_sampler(sched, x0, key, sigma_oracle(x0, sched))
+    # Euler integrates the constant-derivative oracle exactly; ancestral
+    # re-injects noise that the oracle then removes, so exact as well.
+    assert float(jnp.max(jnp.abs(final - x0))) < 1e-3, name
+
+
+def test_lcm_timestep_selection():
+    """Strided subsequence of lcm_origin_steps*strength training steps
+    (reference behavior: controlanimation_pipeline.py:1162-1170)."""
+    sched = make_scheduler("LCMScheduler", SCHED, 4, lcm_origin_steps=50)
+    assert list(sched.timesteps) == [999, 759, 519, 279]
+    sched2 = make_scheduler("LCMScheduler", SCHED, 4, strength=0.5, lcm_origin_steps=50)
+    assert sched2.timesteps[0] == 499  # 25 origin steps, top one = 25*20-1
+    assert len(sched2.timesteps) == 4
+
+
+def test_lcm_boundary_scalings():
+    sched = make_scheduler("LCMScheduler", SCHED, 4, lcm_origin_steps=50)
+    t = float(sched.timesteps[0])
+    st = t * 10.0
+    np.testing.assert_allclose(float(sched._c_skip[0]), 0.25 / (st**2 + 0.25), rtol=1e-6)
+    np.testing.assert_allclose(float(sched._c_out[0]), st / np.sqrt(st**2 + 0.25), rtol=1e-6)
+
+
+def test_lcm_denoise_recovers_x0_roughly():
+    sched = make_scheduler("LCMScheduler", SCHED, 4, lcm_origin_steps=50)
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), SHAPE, jnp.float32)
+    final = run_sampler(sched, x0, key, ddpm_oracle(x0))
+    # c_skip at low t is tiny, so denoised ~= c_out * x0 with c_out ~= 1
+    assert float(jnp.mean(jnp.abs(final - x0))) < 0.05
+
+
+def test_ddim_timesteps_leading_offset():
+    sched = make_scheduler("DDIMScheduler", SCHED, 30)
+    assert sched.timesteps[0] == 958  # round(29*33.33)=957 -> +1 offset
+    assert sched.timesteps[-1] == 1
+    assert sched.num_steps == 30
+
+
+def test_strength_truncation():
+    """img2img keeps the last steps*strength timesteps
+    (reference: controlanimation_pipeline.py:615-622)."""
+    full = make_scheduler("DDIMScheduler", SCHED, 30)
+    part = make_scheduler("DDIMScheduler", SCHED, 30, strength=0.5)
+    assert part.num_steps == 15
+    assert list(part.timesteps) == list(full.timesteps[15:])
+
+
+def test_pndm_has_warmup_iteration():
+    sched = make_scheduler("PNDMScheduler", SCHED, 10)
+    assert sched.num_steps == 11  # S+1 with the duplicated warmup step
+    assert sched.timesteps[1] == sched.timesteps[2]
+
+
+def test_euler_scale_model_input():
+    sched = make_scheduler("EulerDiscreteScheduler", SCHED, 10)
+    x = jnp.ones((1, 4, 2, 4, 4))
+    scaled = sched.scale_model_input(0, x)
+    sigma0 = float(sched.sigmas[0])
+    np.testing.assert_allclose(np.asarray(scaled)[0, 0, 0, 0, 0], 1.0 / np.sqrt(sigma0**2 + 1), rtol=1e-5)
+    assert abs(sched.init_noise_sigma - sigma0) < 1e-6
+
+
+def test_add_noise_t_matches_forward_process():
+    sched = make_scheduler("DDIMScheduler", SCHED, 10)
+    x0 = jnp.ones((1, 4, 1, 2, 2))
+    noise = jnp.ones_like(x0)
+    out = sched.add_noise_t(x0, noise, jnp.asarray(500))
+    abar = SCHED.alphas_cumprod[500]
+    np.testing.assert_allclose(
+        np.asarray(out)[0, 0, 0, 0, 0], np.sqrt(abar) + np.sqrt(1 - abar), rtol=1e-5
+    )
+
+
+def test_schedulers_are_jittable_and_scan_safe():
+    for name in [
+        "DDIMScheduler",
+        "EulerDiscreteScheduler",
+        "EulerAncestralDiscreteScheduler",
+        "LMSDiscreteScheduler",
+        "PNDMScheduler",
+        "DPMSolverMultistepScheduler",
+        "LCMScheduler",
+    ]:
+        sched = make_scheduler(name, SCHED, 5)
+        x0 = jnp.zeros((1, 4, 2, 4, 4))
+
+        @jax.jit
+        def go(x0):
+            return run_sampler(sched, x0, jax.random.PRNGKey(0), ddpm_oracle(x0))
+
+        out = go(x0)
+        assert out.shape == x0.shape
+        assert bool(jnp.all(jnp.isfinite(out))), name
