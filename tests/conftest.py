@@ -20,6 +20,11 @@ if str(REPO_ROOT) not in sys.path:
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
+# An installed pytest plugin may import jax before this conftest runs, in
+# which case jax captured JAX_PLATFORMS=axon at import time — override the
+# live config too (backends are selected lazily, so this still wins).
+jax.config.update("jax_platforms", "cpu")
+
 
 @pytest.fixture(scope="session")
 def eight_devices():
