@@ -71,7 +71,8 @@ class TimestepEmbedding(nn.Module):
 
 class GroupNorm(nn.Module):
     """GroupNorm over the trailing channel axis; fp32 statistics regardless of
-    compute dtype (bf16-safe normalization)."""
+    compute dtype (bf16-safe normalization). Implemented directly (not via
+    nn.GroupNorm) so the param tree is flat: {scale, bias} of shape (C,)."""
 
     num_groups: int = 32
     epsilon: float = 1e-5
@@ -80,12 +81,18 @@ class GroupNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         orig_dtype = x.dtype
-        y = nn.GroupNorm(
-            num_groups=self.num_groups,
-            epsilon=self.epsilon,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
+        C = x.shape[-1]
+        G = self.num_groups
+        assert C % G == 0, f"channels {C} not divisible by groups {G}"
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        N = xf.shape[0]
+        grouped = xf.reshape(N, -1, G, C // G)
+        mean = grouped.mean(axis=(1, 3), keepdims=True)
+        var = grouped.var(axis=(1, 3), keepdims=True)
+        normed = (grouped - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = normed.reshape(xf.shape) * scale + bias
         return y.astype(orig_dtype)
 
 

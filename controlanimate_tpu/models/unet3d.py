@@ -1,0 +1,242 @@
+"""UNet3DConditionModel: SD1.5 UNet inflated to video with AnimateDiff
+motion modules — Flax, channels-last, functional.
+
+Behavioral parity with the reference's model stack
+(reference: animatediff/models/unet.py:50-621, unet_blocks.py): per layer the
+interleaving is ResnetBlock3D -> SpatialTransformer -> MotionModule
+(unet_blocks.py:409-413), ControlNet residuals are added to the down skips
+and mid output (unet.py:567-576,583-585), and the LCM guidance embedding
+enters through the time-embedding cond projection (unet.py:534; LCM unet
+config time_cond_proj_dim=256).
+
+Differences by design (TPU-first):
+  * (B, F, H, W, C) channels-last layout; frames fold into the batch for all
+    2D ops so XLA sees large static-batch convs for the MXU.
+  * IP-Adapter dual-stream cross-attention is a constructor flag
+    (`ip_tokens`), not a runtime attn-processor swap.
+  * No in-place attention slicing machinery (unet.py:389-452) — XLA/Pallas
+    attention handles memory.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import ArchConfig, MotionModuleConfig
+from .layers import TimestepEmbedding, timestep_embedding
+from .motion_module import MotionModule
+from .resnet3d import Downsample3D, InflatedConv, ResnetBlock3D, Upsample3D, VideoGroupNorm
+from .transformer import SpatialTransformer
+
+
+@dataclass(frozen=True)
+class UNet3DConfig:
+    """Static architecture config (SD1.5 defaults; reference:
+    models/LCM_Dreamshaper_v7/unet/config.json + inference-v2.yaml)."""
+
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    down_block_types: tuple[str, ...] = (
+        "CrossAttnDownBlock3D",
+        "CrossAttnDownBlock3D",
+        "CrossAttnDownBlock3D",
+        "DownBlock3D",
+    )
+    up_block_types: tuple[str, ...] = (
+        "UpBlock3D",
+        "CrossAttnUpBlock3D",
+        "CrossAttnUpBlock3D",
+        "CrossAttnUpBlock3D",
+    )
+    attention_heads: int = 8  # SD1.5 'attention_head_dim: 8' == 8 heads
+    cross_attention_dim: int = 768
+    norm_num_groups: int = 32
+    time_cond_proj_dim: Optional[int] = None  # 256 for native-LCM UNets
+    upcast_attention: bool = False
+    # inflation / motion config
+    use_motion_module: bool = True
+    use_inflated_groupnorm: bool = True
+    motion_module_resolutions: tuple[int, ...] = (1, 2, 4, 8)
+    motion_module_mid_block: bool = True
+    motion_module_decoder_only: bool = False
+    motion: MotionModuleConfig = field(default_factory=MotionModuleConfig)
+    # IP-Adapter dual-stream tokens in cross attention (0 = off)
+    ip_tokens: int = 0
+
+    @staticmethod
+    def from_arch(
+        arch: ArchConfig,
+        unet_json: Optional[dict] = None,
+        ip_tokens: int = 0,
+    ) -> "UNet3DConfig":
+        """Combine a diffusers unet config.json with the AnimateDiff
+        inference yaml (reference: unet.py from_pretrained_2d:634-650)."""
+        j = unet_json or {}
+        return UNet3DConfig(
+            in_channels=j.get("in_channels", 4),
+            out_channels=j.get("out_channels", 4),
+            block_out_channels=tuple(j.get("block_out_channels", (320, 640, 1280, 1280))),
+            layers_per_block=j.get("layers_per_block", 2),
+            attention_heads=j.get("attention_head_dim", 8),
+            cross_attention_dim=j.get("cross_attention_dim", 768),
+            norm_num_groups=j.get("norm_num_groups", 32),
+            time_cond_proj_dim=j.get("time_cond_proj_dim"),
+            upcast_attention=bool(j.get("upcast_attention") or False),
+            use_motion_module=arch.use_motion_module,
+            use_inflated_groupnorm=arch.use_inflated_groupnorm,
+            motion_module_resolutions=arch.motion_module_resolutions,
+            motion_module_mid_block=arch.motion_module_mid_block,
+            motion_module_decoder_only=arch.motion_module_decoder_only,
+            motion=arch.motion_module,
+            ip_tokens=ip_tokens,
+        )
+
+
+class UNet3DConditionModel(nn.Module):
+    config: UNet3DConfig = field(default_factory=UNet3DConfig)
+    dtype: jnp.dtype = jnp.float32
+
+    def _motion(self, name: str):
+        m = self.config.motion
+        return MotionModule(
+            heads=m.num_attention_heads,
+            num_transformer_block=m.num_transformer_block,
+            attention_block_types=m.attention_block_types,
+            max_len=m.temporal_position_encoding_max_len,
+            use_pos_encoding=m.temporal_position_encoding,
+            name=name,
+            dtype=self.dtype,
+        )
+
+    def _spatial(self, ch: int, name: str):
+        cfg = self.config
+        return SpatialTransformer(
+            heads=cfg.attention_heads,
+            dim_head=ch // cfg.attention_heads,
+            cross_attention_dim=cfg.cross_attention_dim,
+            ip_tokens=cfg.ip_tokens,
+            upcast_attention=cfg.upcast_attention,
+            name=name,
+            dtype=self.dtype,
+        )
+
+    def _resnet(self, ch: int, name: str):
+        cfg = self.config
+        return ResnetBlock3D(
+            ch,
+            use_inflated_groupnorm=cfg.use_inflated_groupnorm,
+            groups=cfg.norm_num_groups,
+            name=name,
+            dtype=self.dtype,
+        )
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jnp.ndarray,  # (B, F, H, W, C_in) latents
+        timesteps: jnp.ndarray,  # (B,) or scalar
+        encoder_hidden_states: jnp.ndarray,  # (B, L, D) text (+IP) embeds
+        timestep_cond: Optional[jnp.ndarray] = None,  # (B, cond_dim) LCM w-emb
+        down_block_additional_residuals: Optional[Sequence[jnp.ndarray]] = None,
+        mid_block_additional_residual: Optional[jnp.ndarray] = None,
+        ip_scale: float | jnp.ndarray = 1.0,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        B = sample.shape[0]
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps, (B,))
+
+        # time embedding (reference: unet.py:519-537)
+        t_emb = timestep_embedding(timesteps, cfg.block_out_channels[0])
+        t_emb = t_emb.astype(self.dtype)
+        temb = TimestepEmbedding(
+            cfg.block_out_channels[0] * 4,
+            cond_proj_dim=cfg.time_cond_proj_dim,
+            name="time_embedding",
+            dtype=self.dtype,
+        )(t_emb, timestep_cond)
+
+        sample = InflatedConv(cfg.block_out_channels[0], name="conv_in", dtype=self.dtype)(
+            sample
+        )
+
+        down_residuals = [sample]
+        # ---- down blocks (reference: unet_blocks.py:283-523) ----
+        ch = cfg.block_out_channels[0]
+        for i, block_type in enumerate(cfg.down_block_types):
+            out_ch = cfg.block_out_channels[i]
+            has_cross = block_type == "CrossAttnDownBlock3D"
+            use_motion = (
+                cfg.use_motion_module
+                and (2**i) in cfg.motion_module_resolutions
+                and not cfg.motion_module_decoder_only
+            )
+            for j in range(cfg.layers_per_block):
+                sample = self._resnet(out_ch, f"down_blocks_{i}_resnets_{j}")(sample, temb)
+                if has_cross:
+                    sample = self._spatial(out_ch, f"down_blocks_{i}_attentions_{j}")(
+                        sample, encoder_hidden_states, ip_scale
+                    )
+                if use_motion:
+                    sample = self._motion(f"down_blocks_{i}_motion_modules_{j}")(sample)
+                down_residuals.append(sample)
+            if i < len(cfg.down_block_types) - 1:
+                sample = Downsample3D(out_ch, name=f"down_blocks_{i}_downsamplers_0", dtype=self.dtype)(
+                    sample
+                )
+                down_residuals.append(sample)
+            ch = out_ch
+
+        # ---- mid block (reference: unet_blocks.py:173-280) ----
+        sample = self._resnet(ch, "mid_block_resnets_0")(sample, temb)
+        sample = self._spatial(ch, "mid_block_attentions_0")(
+            sample, encoder_hidden_states, ip_scale
+        )
+        if cfg.use_motion_module and cfg.motion_module_mid_block:
+            sample = self._motion("mid_block_motion_modules_0")(sample)
+        sample = self._resnet(ch, "mid_block_resnets_1")(sample, temb)
+
+        # ControlNet residual injection (reference: unet.py:567-576,583-585)
+        if down_block_additional_residuals is not None:
+            down_residuals = [
+                r + c.astype(r.dtype)
+                for r, c in zip(down_residuals, down_block_additional_residuals)
+            ]
+        if mid_block_additional_residual is not None:
+            sample = sample + mid_block_additional_residual.astype(sample.dtype)
+
+        # ---- up blocks (reference: unet_blocks.py:526-762) ----
+        reversed_ch = list(reversed(cfg.block_out_channels))
+        for i, block_type in enumerate(cfg.up_block_types):
+            out_ch = reversed_ch[i]
+            has_cross = block_type == "CrossAttnUpBlock3D"
+            resolution = 2 ** (len(cfg.up_block_types) - 1 - i)
+            use_motion = cfg.use_motion_module and resolution in cfg.motion_module_resolutions
+            for j in range(cfg.layers_per_block + 1):
+                skip = down_residuals.pop()
+                sample = jnp.concatenate([sample, skip.astype(sample.dtype)], axis=-1)
+                sample = self._resnet(out_ch, f"up_blocks_{i}_resnets_{j}")(sample, temb)
+                if has_cross:
+                    sample = self._spatial(out_ch, f"up_blocks_{i}_attentions_{j}")(
+                        sample, encoder_hidden_states, ip_scale
+                    )
+                if use_motion:
+                    sample = self._motion(f"up_blocks_{i}_motion_modules_{j}")(sample)
+            if i < len(cfg.up_block_types) - 1:
+                sample = Upsample3D(out_ch, name=f"up_blocks_{i}_upsamplers_0", dtype=self.dtype)(
+                    sample
+                )
+
+        # ---- out head ----
+        sample = VideoGroupNorm(
+            cfg.norm_num_groups, cfg.use_inflated_groupnorm, name="conv_norm_out"
+        )(sample)
+        sample = nn.silu(sample)
+        sample = InflatedConv(cfg.out_channels, name="conv_out", dtype=self.dtype)(sample)
+        return sample

@@ -1,0 +1,134 @@
+"""UNet3D structural + behavioral tests (tiny configs, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from controlanimate_tpu.config import MotionModuleConfig
+from controlanimate_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
+
+TINY = UNet3DConfig(
+    block_out_channels=(32, 64),
+    layers_per_block=1,
+    down_block_types=("CrossAttnDownBlock3D", "DownBlock3D"),
+    up_block_types=("UpBlock3D", "CrossAttnUpBlock3D"),
+    attention_heads=4,
+    cross_attention_dim=24,
+    norm_num_groups=8,
+    motion=MotionModuleConfig(num_attention_heads=4, temporal_position_encoding_max_len=8),
+)
+
+
+def make(cfg=TINY):
+    model = UNet3DConditionModel(cfg)
+    x = jnp.zeros((1, 2, 8, 8, 4))
+    t = jnp.asarray([500])
+    ctx = jnp.zeros((1, 7, cfg.cross_attention_dim))
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx)["params"]
+    return model, params
+
+
+def test_forward_shape_and_jit():
+    model, params = make()
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 8, 8, 4))
+    t = jnp.asarray([10, 900])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 7, 24))
+    out = jax.jit(lambda p, x, t, c: model.apply({"params": p}, x, t, c))(params, x, t, ctx)
+    assert out.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_motion_modules_identity_at_init():
+    """Zero-init proj_out => fresh motion modules are identity residuals
+    (reference: motion_module.py:50-77) — the property that makes non-strict
+    2D weight loading sound (reference: unet.py:623-669)."""
+    cfg_no_motion = UNet3DConfig(
+        **{**TINY.__dict__, "use_motion_module": False}
+    )
+    model3d, params3d = make(TINY)
+    model2d = UNet3DConditionModel(cfg_no_motion)
+
+    # graft the 3D params minus motion modules into the 2D model
+    params2d = {k: v for k, v in params3d.items() if "motion_modules" not in k}
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 8, 8, 4))
+    t = jnp.asarray([321])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 7, 24))
+    out3d = model3d.apply({"params": params3d}, x, t, ctx)
+    out2d = model2d.apply({"params": params2d}, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(out3d), np.asarray(out2d), atol=1e-5)
+
+
+def test_frame_equivariance_without_motion():
+    """Without motion modules, frames are independent: permuting input frames
+    permutes outputs identically."""
+    cfg = UNet3DConfig(**{**TINY.__dict__, "use_motion_module": False})
+    model = UNet3DConditionModel(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 8, 8, 4))
+    t = jnp.asarray([100])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 7, 24))
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx)["params"]
+    out = model.apply({"params": params}, x, t, ctx)
+    perm = jnp.asarray([2, 0, 1])
+    out_perm = model.apply({"params": params}, x[:, perm], t, ctx)
+    np.testing.assert_allclose(np.asarray(out[:, perm]), np.asarray(out_perm), atol=1e-4)
+
+
+def test_motion_breaks_frame_independence():
+    """With trained (non-zero) motion weights, frames interact."""
+    model, params = make()
+    # randomize the zero proj_out so motion is active
+    def poke(p):
+        for k, v in p.items():
+            if isinstance(v, dict):
+                poke(v)
+        return p
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.05 if a.ndim == 2 else a, params
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 8, 8, 4))
+    t = jnp.asarray([100])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 7, 24))
+    out = model.apply({"params": params}, x, t, ctx)
+    x2 = x.at[:, 2].set(0.0)  # change only frame 2
+    out2 = model.apply({"params": params}, x2, t, ctx)
+    # frame 0 output must change too (temporal attention mixes frames)
+    assert float(jnp.max(jnp.abs(out[:, 0] - out2[:, 0]))) > 1e-6
+
+
+def test_controlnet_residual_injection():
+    model, params = make()
+    x = jnp.ones((1, 2, 8, 8, 4))
+    t = jnp.asarray([5])
+    ctx = jnp.zeros((1, 7, 24))
+    base = model.apply({"params": params}, x, t, ctx)
+
+    # build residuals with the right shapes by probing the down path:
+    # conv_in + (1 layer + downsample) + (1 layer) => 4 residuals for TINY
+    residuals = [
+        jnp.zeros((1, 2, 8, 8, 32)),
+        jnp.zeros((1, 2, 8, 8, 32)),
+        jnp.zeros((1, 2, 4, 4, 32)),
+        jnp.zeros((1, 2, 4, 4, 64)),
+    ]
+    mid = jnp.ones((1, 2, 4, 4, 64)) * 0.1
+    out = model.apply(
+        {"params": params}, x, t, ctx,
+        down_block_additional_residuals=residuals,
+        mid_block_additional_residual=mid,
+    )
+    assert not np.allclose(np.asarray(base), np.asarray(out))
+
+
+def test_lcm_timestep_cond():
+    cfg = UNet3DConfig(**{**TINY.__dict__, "time_cond_proj_dim": 16})
+    model = UNet3DConditionModel(cfg)
+    x = jnp.zeros((1, 2, 8, 8, 4))
+    t = jnp.asarray([500])
+    ctx = jnp.zeros((1, 7, 24))
+    w = jnp.ones((1, 16))
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx, timestep_cond=w)["params"]
+    out_w = model.apply({"params": params}, x, t, ctx, timestep_cond=w)
+    out_w2 = model.apply({"params": params}, x, t, ctx, timestep_cond=w * 2)
+    assert not np.allclose(np.asarray(out_w), np.asarray(out_w2))
