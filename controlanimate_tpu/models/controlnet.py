@@ -112,6 +112,7 @@ class ControlNetModel(nn.Module):
                         heads=cfg.attention_heads,
                         dim_head=out_ch // cfg.attention_heads,
                         cross_attention_dim=cfg.cross_attention_dim,
+                        groups=cfg.norm_num_groups,
                         name=f"down_blocks_{i}_attentions_{j}",
                         dtype=self.dtype,
                     )(sample, encoder_hidden_states)
@@ -131,6 +132,7 @@ class ControlNetModel(nn.Module):
             heads=cfg.attention_heads,
             dim_head=ch // cfg.attention_heads,
             cross_attention_dim=cfg.cross_attention_dim,
+            groups=cfg.norm_num_groups,
             name="mid_block_attentions_0",
             dtype=self.dtype,
         )(sample, encoder_hidden_states)

@@ -87,6 +87,7 @@ class MotionModule(nn.Module):
     attention_block_types: Sequence[str] = ("Temporal_Self", "Temporal_Self")
     max_len: int = 32
     use_pos_encoding: bool = True
+    groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -100,7 +101,7 @@ class MotionModule(nn.Module):
         # GroupNorm32 across f jointly via InflatedGroupNorm-equivalent;
         # TemporalTransformer3DModel.norm is a plain GroupNorm over c)
         h = h.reshape(B * F, H * W, C)
-        h = GroupNorm(32, name="norm")(h)
+        h = GroupNorm(self.groups, name="norm")(h)
         h = nn.Dense(C, name="proj_in", dtype=self.dtype)(h)
 
         # (B*F, HW, C) -> (B*HW, F, C): attention across frames per location

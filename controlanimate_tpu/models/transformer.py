@@ -60,6 +60,7 @@ class SpatialTransformer(nn.Module):
     cross_attention_dim: int = 768
     ip_tokens: int = 0
     upcast_attention: bool = False
+    groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -70,7 +71,7 @@ class SpatialTransformer(nn.Module):
         residual = x
 
         h, f = fold_frames(x)
-        h = GroupNorm(32, epsilon=1e-6, name="norm")(h)
+        h = GroupNorm(self.groups, epsilon=1e-6, name="norm")(h)
         h = nn.Conv(inner, (1, 1), name="proj_in", dtype=self.dtype)(h)
         h = h.reshape(B * F, H * W, inner)
 

@@ -110,6 +110,7 @@ class UNet3DConditionModel(nn.Module):
             attention_block_types=m.attention_block_types,
             max_len=m.temporal_position_encoding_max_len,
             use_pos_encoding=m.temporal_position_encoding,
+            groups=self.config.norm_num_groups,
             name=name,
             dtype=self.dtype,
         )
@@ -122,6 +123,7 @@ class UNet3DConditionModel(nn.Module):
             cross_attention_dim=cfg.cross_attention_dim,
             ip_tokens=cfg.ip_tokens,
             upcast_attention=cfg.upcast_attention,
+            groups=cfg.norm_num_groups,
             name=name,
             dtype=self.dtype,
         )

@@ -26,15 +26,16 @@ from ..ops.attention import dot_product_attention
 
 class VaeResnetBlock(nn.Module):
     out_channels: int
+    groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
-        h = GroupNorm(32, name="norm1")(x)
+        h = GroupNorm(self.groups, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1", dtype=self.dtype)(h)
-        h = GroupNorm(32, name="norm2")(h)
+        h = GroupNorm(self.groups, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2", dtype=self.dtype)(h)
         if in_ch != self.out_channels:
@@ -47,12 +48,13 @@ class VaeResnetBlock(nn.Module):
 class VaeAttnBlock(nn.Module):
     """Single-head spatial self-attention at the VAE mid block."""
 
+    groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        h = GroupNorm(32, name="group_norm")(x).reshape(B, H * W, C)
+        h = GroupNorm(self.groups, name="group_norm")(x).reshape(B, H * W, C)
         q = nn.Dense(C, name="to_q", dtype=self.dtype)(h)
         k = nn.Dense(C, name="to_k", dtype=self.dtype)(h)
         v = nn.Dense(C, name="to_v", dtype=self.dtype)(h)
@@ -91,6 +93,7 @@ class Encoder(nn.Module):
     block_out_channels: Sequence[int] = (128, 256, 512, 512)
     layers_per_block: int = 2
     latent_channels: int = 4
+    groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -99,13 +102,13 @@ class Encoder(nn.Module):
         h = nn.Conv(ch[0], (3, 3), padding=1, name="conv_in", dtype=self.dtype)(x)
         for i, c in enumerate(ch):
             for j in range(self.layers_per_block):
-                h = VaeResnetBlock(c, name=f"down_{i}_res_{j}", dtype=self.dtype)(h)
+                h = VaeResnetBlock(c, self.groups, name=f"down_{i}_res_{j}", dtype=self.dtype)(h)
             if i < len(ch) - 1:
                 h = Downsample2D(c, name=f"down_{i}_downsample", dtype=self.dtype)(h)
-        h = VaeResnetBlock(ch[-1], name="mid_res_0", dtype=self.dtype)(h)
-        h = VaeAttnBlock(name="mid_attn", dtype=self.dtype)(h)
-        h = VaeResnetBlock(ch[-1], name="mid_res_1", dtype=self.dtype)(h)
-        h = GroupNorm(32, name="conv_norm_out")(h)
+        h = VaeResnetBlock(ch[-1], self.groups, name="mid_res_0", dtype=self.dtype)(h)
+        h = VaeAttnBlock(self.groups, name="mid_attn", dtype=self.dtype)(h)
+        h = VaeResnetBlock(ch[-1], self.groups, name="mid_res_1", dtype=self.dtype)(h)
+        h = GroupNorm(self.groups, name="conv_norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(
             2 * self.latent_channels, (3, 3), padding=1, name="conv_out", dtype=self.dtype
@@ -116,21 +119,22 @@ class Decoder(nn.Module):
     block_out_channels: Sequence[int] = (128, 256, 512, 512)
     layers_per_block: int = 3
     out_channels: int = 3
+    groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, z):
         ch = list(reversed(self.block_out_channels))  # (512,512,256,128)
         h = nn.Conv(ch[0], (3, 3), padding=1, name="conv_in", dtype=self.dtype)(z)
-        h = VaeResnetBlock(ch[0], name="mid_res_0", dtype=self.dtype)(h)
-        h = VaeAttnBlock(name="mid_attn", dtype=self.dtype)(h)
-        h = VaeResnetBlock(ch[0], name="mid_res_1", dtype=self.dtype)(h)
+        h = VaeResnetBlock(ch[0], self.groups, name="mid_res_0", dtype=self.dtype)(h)
+        h = VaeAttnBlock(self.groups, name="mid_attn", dtype=self.dtype)(h)
+        h = VaeResnetBlock(ch[0], self.groups, name="mid_res_1", dtype=self.dtype)(h)
         for i, c in enumerate(ch):
             for j in range(self.layers_per_block):
-                h = VaeResnetBlock(c, name=f"up_{i}_res_{j}", dtype=self.dtype)(h)
+                h = VaeResnetBlock(c, self.groups, name=f"up_{i}_res_{j}", dtype=self.dtype)(h)
             if i < len(ch) - 1:
                 h = Upsample2D(c, name=f"up_{i}_upsample", dtype=self.dtype)(h)
-        h = GroupNorm(32, name="conv_norm_out")(h)
+        h = GroupNorm(self.groups, name="conv_norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(
             self.out_channels, (3, 3), padding=1, name="conv_out", dtype=self.dtype
@@ -143,16 +147,19 @@ class AutoencoderKL(nn.Module):
     block_out_channels: Sequence[int] = (128, 256, 512, 512)
     latent_channels: int = 4
     scaling_factor: float = 0.18215
+    groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.encoder = Encoder(
             block_out_channels=self.block_out_channels,
             latent_channels=self.latent_channels,
+            groups=self.groups,
             dtype=self.dtype,
         )
         self.decoder = Decoder(
             block_out_channels=self.block_out_channels,
+            groups=self.groups,
             dtype=self.dtype,
         )
         self.quant_conv = nn.Conv(2 * self.latent_channels, (1, 1), dtype=self.dtype)

@@ -1,0 +1,335 @@
+"""AnimationEngine — the diffusion core as one jitted window program.
+
+Functional re-design of the reference's ControlAnimationPipeline.__call__
+(reference: animatediff/pipelines/controlanimation_pipeline.py:625-875):
+
+  reference (torch, eager)                 this engine (JAX)
+  ------------------------------------    ---------------------------------
+  python for-loop over timesteps with     lax.scan over a step index with
+  per-step empty_cache (:793-794)         table-driven schedulers
+  CFG via torch.cat + chunk (:797,844)    CFG as a leading batch axis of the
+                                          same scanned step
+  ControlNet called per step on einops-   ControlNet residuals computed
+  rearranged tensors (:810)               inside the scanned step, already
+                                          in UNet layout
+  VAE decode frame-at-a-time (:501-514)   batched jitted decode
+  unseeded torch.randn inside LCM step    explicit jax.random key tree
+
+Behavioral contract reproduced exactly (see prepare_latents below and the
+scheduler modules): overlap/img2img noising (:549-613), CFG ordering
+[uncond, cond] (:721-722), ControlNet CFG/guess/LCM input selection
+(:811-813), LCM w-embedding (:477-498,768-771).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.controlnet import ControlNetModel, sum_controlnet_residuals
+from ..models.unet3d import UNet3DConditionModel
+from ..models.vae import AutoencoderKL
+from ..schedulers import DiffusionSchedule, Scheduler, make_scheduler
+
+
+def get_w_embedding(w: jnp.ndarray, embedding_dim: int = 256) -> jnp.ndarray:
+    """Sinusoidal guidance-scale embedding for LCM UNets
+    (reference: controlanimation_pipeline.py:477-498)."""
+    w = w * 1000.0
+    half = embedding_dim // 2
+    emb = math.log(10000.0) / (half - 1)
+    emb = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -emb)
+    emb = w.astype(jnp.float32)[:, None] * emb[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, [(0, 0), (0, 1)])
+    return emb
+
+
+@dataclass
+class EngineModels:
+    """Module+params bundle the engine drives."""
+
+    unet: UNet3DConditionModel
+    unet_params: Any
+    vae: AutoencoderKL
+    vae_params: Any
+    controlnets: Sequence[ControlNetModel] = ()
+    controlnet_params: Sequence[Any] = ()
+    cond_scales: Sequence[float] = ()
+
+
+@dataclass(frozen=True)
+class WindowStatic:
+    """Static (compile-time) window configuration."""
+
+    scheduler_name: str = "EulerDiscreteScheduler"
+    steps: int = 30
+    strength: float = 1.0
+    guidance_scale: float = 7.5
+    use_lcm: bool = False
+    lcm_origin_steps: int = 50
+    guess_mode: bool = False
+    overlaps: int = 0
+    use_img2img: bool = False
+    has_input_frames: bool = False
+    has_last_output_frames: bool = False
+    ipa_scale: float = 1.0
+    # window geometry for pure txt2vid (no input frames to infer from)
+    frame_count: int = 16
+    height: int = 512
+    width: int = 512
+
+    @property
+    def do_cfg(self) -> bool:
+        return (self.guidance_scale > 1.0) and not self.use_lcm
+
+
+class AnimationEngine:
+    def __init__(self, models: EngineModels, schedule: DiffusionSchedule):
+        self.m = models
+        self.schedule = schedule
+        self._window_cache: dict = {}
+
+    # -- scheduler construction ---------------------------------------------
+    def build_scheduler(self, st: WindowStatic) -> Scheduler:
+        if st.use_lcm:
+            return make_scheduler(
+                "LCMScheduler",
+                self.schedule,
+                st.steps,
+                strength=st.strength,
+                lcm_origin_steps=st.lcm_origin_steps,
+            )
+        return make_scheduler(st.scheduler_name, self.schedule, st.steps, strength=st.strength)
+
+    # -- VAE helpers ---------------------------------------------------------
+    def _encode_frames(self, frames: jnp.ndarray, key) -> jnp.ndarray:
+        """(B, F, H, W, 3) in [-1,1] -> (B, F, h, w, 4) scaled latents,
+        posterior-sampled (reference: prepare_latents :565-588)."""
+        B, F, H, W, C = frames.shape
+        flat = frames.reshape(B * F, H, W, C)
+        z = self.m.vae.apply(
+            {"params": self.m.vae_params}, flat, key, method=AutoencoderKL.encode
+        )
+        return z.reshape(B, F, *z.shape[1:])
+
+    def _decode_latents(self, latents: jnp.ndarray) -> jnp.ndarray:
+        """(B, F, h, w, 4) -> (B, F, H, W, 3) in [0,1]
+        (reference decode_latents :501-514, without the frame loop)."""
+        B, F = latents.shape[:2]
+        flat = latents.reshape(B * F, *latents.shape[2:])
+        img = self.m.vae.apply({"params": self.m.vae_params}, flat, method=AutoencoderKL.decode)
+        img = (img / 2 + 0.5).clip(0.0, 1.0)
+        return img.reshape(B, F, *img.shape[1:])
+
+    # -- latent preparation --------------------------------------------------
+    def _prepare_latents(
+        self,
+        st: WindowStatic,
+        sched: Scheduler,
+        key,
+        latent_shape: tuple[int, ...],
+        input_frames: Optional[jnp.ndarray],
+        last_output_frames: Optional[jnp.ndarray],
+    ) -> jnp.ndarray:
+        """Reference prepare_latents (:549-613), vectorized over frames."""
+        k_noise, k_in, k_out = jax.random.split(key, 3)
+        noise = jax.random.normal(k_noise, latent_shape, jnp.float32)
+
+        needs_frames = st.overlaps > 0 or st.strength < 1.0 or st.use_lcm
+        if not needs_frames:
+            return noise * sched.init_noise_sigma
+
+        frames_latents = (
+            self._encode_frames(input_frames, k_in) if input_frames is not None else None
+        )
+        last_latents = (
+            self._encode_frames(last_output_frames, k_out)
+            if last_output_frames is not None
+            else None
+        )
+
+        if st.use_lcm:
+            assert frames_latents is not None
+            return sched.add_noise(frames_latents, noise, 0)
+
+        if last_latents is not None and st.strength < 1.0:
+            F = latent_shape[1]
+            K = last_latents.shape[1]
+            # per-frame-index source selection (reference :595-604)
+            idx = jnp.arange(F)
+            in_overlap = (idx < K)[None, :, None, None, None]
+            anchor = last_latents[:, -1:]  # (B,1,h,w,4)
+            if st.use_img2img and frames_latents is not None:
+                tail_src = frames_latents
+            else:
+                tail_src = jnp.broadcast_to(anchor, latent_shape)
+            K_pad = jnp.concatenate(
+                [last_latents, jnp.broadcast_to(anchor, (latent_shape[0], F - K, *latent_shape[2:]))],
+                axis=1,
+            )
+            source = jnp.where(in_overlap, K_pad, tail_src)
+            return sched.add_noise(source, noise, 0)
+
+        return noise * sched.init_noise_sigma
+
+    # -- the jitted window program ------------------------------------------
+    def make_window_fn(self, st: WindowStatic) -> Callable:
+        """Build (and cache) the jitted end-to-end window function."""
+        if st in self._window_cache:
+            return self._window_cache[st]
+
+        sched = self.build_scheduler(st)
+        ts = jnp.asarray(np.round(sched.timesteps).astype(np.int64))
+        n_cn = len(self.m.controlnets)
+
+        def run(
+            unet_params,
+            cn_params: tuple,
+            text_embeds: jnp.ndarray,  # (2B, L, D) if cfg else (B, L, D)
+            cond_images: tuple,  # per net (B, F, Hpx, Wpx, 3)
+            input_frames: Optional[jnp.ndarray],
+            last_output_frames: Optional[jnp.ndarray],
+            key,
+        ):
+            k_prep, k_loop = jax.random.split(key)
+            if st.do_cfg:
+                B = text_embeds.shape[0] // 2
+            else:
+                B = text_embeds.shape[0]
+            if input_frames is not None:
+                F, H, W = input_frames.shape[1:4]
+            else:
+                F, H, W = st.frame_count, st.height, st.width
+            h, w = H // 8, W // 8
+
+            latent_shape = (B, F, h, w, 4)
+            latents = self._prepare_latents(
+                st, sched, k_prep, latent_shape, input_frames, last_output_frames
+            )
+
+            # LCM guidance embedding (reference :768-771)
+            w_emb = None
+            if st.use_lcm:
+                w_vec = jnp.full((B,), st.guidance_scale, jnp.float32)
+                w_dim = self.m.unet.config.time_cond_proj_dim or 256
+                w_emb = get_w_embedding(w_vec, w_dim)
+
+            # text context for controlnets: cond-only when lcm/guess/no-cfg
+            cn_uses_cond_only = st.use_lcm or st.guess_mode or not st.do_cfg
+            if st.do_cfg:
+                cond_half = text_embeds[B:]
+            else:
+                cond_half = text_embeds
+            cn_text = cond_half if cn_uses_cond_only else text_embeds
+            # ControlNets never see IP image tokens (reference CNAttnProcessor
+            # truncates them, attention_processor.py:496-559)
+
+            cn_cond_images = cond_images
+            if not cn_uses_cond_only and n_cn:
+                # CFG duplication of condition images (reference
+                # controlresiduals :268-269)
+                cn_cond_images = tuple(jnp.concatenate([c, c]) for c in cond_images)
+
+            state0 = sched.init_state(latent_shape)
+
+            def body(carry, i):
+                latents, state = carry
+                t = ts[i]
+
+                if st.do_cfg:
+                    lat_in = jnp.concatenate([latents, latents], axis=0)
+                else:
+                    lat_in = latents
+                lat_in = sched.scale_model_input(i, lat_in)
+                lcm_in = sched.scale_model_input(i, latents)
+
+                down_res = mid_res = None
+                if n_cn:
+                    cn_input = lcm_in if cn_uses_cond_only else lat_in
+                    per_net = []
+                    for ci in range(n_cn):
+                        d, m = self.m.controlnets[ci].apply(
+                            {"params": cn_params[ci]},
+                            cn_input,
+                            t,
+                            cn_text,
+                            cn_cond_images[ci],
+                            conditioning_scale=self.m.cond_scales[ci],
+                            guess_mode=st.guess_mode,
+                        )
+                        per_net.append((d, m))
+                    down_res, mid_res = sum_controlnet_residuals(per_net)
+                    if cn_uses_cond_only and st.do_cfg:
+                        # reference relies on B=1 torch broadcasting here —
+                        # residuals apply to BOTH CFG branches; make explicit
+                        down_res = [jnp.concatenate([d, d]) for d in down_res]
+                        mid_res = jnp.concatenate([mid_res, mid_res])
+
+                if st.use_lcm:
+                    model_out = self.m.unet.apply(
+                        {"params": unet_params},
+                        lcm_in,
+                        t,
+                        text_embeds,
+                        timestep_cond=w_emb,
+                        down_block_additional_residuals=down_res,
+                        mid_block_additional_residual=mid_res,
+                        ip_scale=st.ipa_scale,
+                    )
+                else:
+                    model_out = self.m.unet.apply(
+                        {"params": unet_params},
+                        lat_in,
+                        t,
+                        text_embeds,
+                        down_block_additional_residuals=down_res,
+                        mid_block_additional_residual=mid_res,
+                        ip_scale=st.ipa_scale,
+                    )
+                    if st.do_cfg:
+                        uncond, cond = jnp.split(model_out, 2, axis=0)
+                        model_out = uncond + st.guidance_scale * (cond - uncond)
+
+                model_out = model_out.astype(latents.dtype)
+                latents, state = sched.step(
+                    i, model_out, latents, state, jax.random.fold_in(k_loop, i)
+                )
+                return (latents, state), None
+
+            (latents, _), _ = jax.lax.scan(
+                body, (latents, state0), jnp.arange(sched.num_steps)
+            )
+            return self._decode_latents(latents)
+
+        jitted = jax.jit(run)
+        self._window_cache[st] = jitted
+        return jitted
+
+    def generate_window(
+        self,
+        st: WindowStatic,
+        text_embeds: jnp.ndarray,
+        key,
+        cond_images: Sequence[jnp.ndarray] = (),
+        input_frames: Optional[jnp.ndarray] = None,
+        last_output_frames: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Run one window; returns (B, F, H, W, 3) float frames in [0,1]."""
+        fn = self.make_window_fn(st)
+        return fn(
+            self.m.unet_params,
+            tuple(self.m.controlnet_params),
+            text_embeds,
+            tuple(cond_images),
+            input_frames,
+            last_output_frames,
+            key,
+        )

@@ -1,0 +1,171 @@
+"""End-to-end engine tests: tiny models, full jitted window programs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from controlanimate_tpu.config import MotionModuleConfig
+from controlanimate_tpu.models.controlnet import ControlNetModel
+from controlanimate_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
+from controlanimate_tpu.models.vae import AutoencoderKL
+from controlanimate_tpu.pipelines.engine import (
+    AnimationEngine,
+    EngineModels,
+    WindowStatic,
+    get_w_embedding,
+)
+from controlanimate_tpu.schedulers import make_schedule
+
+UCFG = UNet3DConfig(
+    block_out_channels=(8, 16),
+    layers_per_block=1,
+    down_block_types=("CrossAttnDownBlock3D", "DownBlock3D"),
+    up_block_types=("UpBlock3D", "CrossAttnUpBlock3D"),
+    attention_heads=2,
+    cross_attention_dim=16,
+    norm_num_groups=4,
+    motion=MotionModuleConfig(num_attention_heads=2, temporal_position_encoding_max_len=8),
+)
+LCM_UCFG = UNet3DConfig(**{**UCFG.__dict__, "time_cond_proj_dim": 8})
+CN_CFG = UNet3DConfig(**{**UCFG.__dict__, "use_motion_module": False})
+
+
+@pytest.fixture(scope="module")
+def engine():
+    key = jax.random.PRNGKey(0)
+    unet = UNet3DConditionModel(UCFG)
+    x = jnp.zeros((1, 2, 4, 4, 4))
+    ctx = jnp.zeros((1, 7, 16))
+    unet_params = unet.init(key, x, jnp.asarray([1]), ctx)["params"]
+    vae = AutoencoderKL(block_out_channels=(4, 8, 8, 8), groups=2)
+    vae_params = vae.init(key, jnp.zeros((1, 32, 32, 3)))["params"]
+    cn = ControlNetModel(CN_CFG)
+    cn_params = cn.init(
+        key, x, jnp.asarray([1]), ctx, jnp.zeros((1, 2, 32, 32, 3))
+    )["params"]
+    models = EngineModels(
+        unet=unet, unet_params=unet_params, vae=vae, vae_params=vae_params,
+        controlnets=[cn], controlnet_params=[cn_params], cond_scales=[1.0],
+    )
+    return AnimationEngine(models, make_schedule())
+
+
+def _embeds(B, L=7, D=16, cfg=True):
+    e = jax.random.normal(jax.random.PRNGKey(3), (B, L, D))
+    if cfg:
+        return jnp.concatenate([jnp.zeros_like(e), e], axis=0)
+    return e
+
+
+def test_txt2vid_cfg_euler(engine):
+    st = WindowStatic(
+        scheduler_name="EulerDiscreteScheduler", steps=3, guidance_scale=7.5,
+        frame_count=2, height=32, width=32,
+    )
+    # no controlnets in this config: build a frame-free engine view
+    eng = AnimationEngine(
+        EngineModels(
+            unet=engine.m.unet, unet_params=engine.m.unet_params,
+            vae=engine.m.vae, vae_params=engine.m.vae_params,
+        ),
+        engine.schedule,
+    )
+    out = eng.generate_window(st, _embeds(1), jax.random.PRNGKey(0))
+    assert out.shape == (1, 2, 32, 32, 3)
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+def test_vid2vid_lcm_with_controlnet(engine):
+    st = WindowStatic(
+        steps=2, use_lcm=True, guidance_scale=7.5, strength=0.8,
+        lcm_origin_steps=50,
+    )
+    frames = jax.random.uniform(jax.random.PRNGKey(1), (1, 2, 32, 32, 3)) * 2 - 1
+    cond = jax.random.uniform(jax.random.PRNGKey(2), (1, 2, 32, 32, 3))
+    # LCM unet with cond proj
+    lcm_unet = UNet3DConditionModel(LCM_UCFG)
+    lcm_params = lcm_unet.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, 4, 4, 4)), jnp.asarray([1]),
+        jnp.zeros((1, 7, 16)), timestep_cond=jnp.zeros((1, 8)),
+    )["params"]
+    eng = AnimationEngine(
+        EngineModels(
+            unet=lcm_unet, unet_params=lcm_params,
+            vae=engine.m.vae, vae_params=engine.m.vae_params,
+            controlnets=engine.m.controlnets,
+            controlnet_params=engine.m.controlnet_params,
+            cond_scales=[0.7],
+        ),
+        engine.schedule,
+    )
+    st = WindowStatic(**{**st.__dict__})
+    out = eng.generate_window(
+        st, _embeds(1, cfg=False), jax.random.PRNGKey(0),
+        cond_images=[cond], input_frames=frames,
+    )
+    assert out.shape == (1, 2, 32, 32, 3)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_overlap_noising_pins_overlap_frames(engine):
+    """With strength<1 and overlap frames, overlap slots must start from the
+    previous outputs: at strength->0 the output should reproduce them."""
+    st = WindowStatic(
+        scheduler_name="DDIMScheduler", steps=10, guidance_scale=1.0,
+        strength=0.1, overlaps=1, has_last_output_frames=True,
+    )
+    eng = AnimationEngine(
+        EngineModels(
+            unet=engine.m.unet, unet_params=engine.m.unet_params,
+            vae=engine.m.vae, vae_params=engine.m.vae_params,
+        ),
+        engine.schedule,
+    )
+    frames = jax.random.uniform(jax.random.PRNGKey(1), (1, 2, 32, 32, 3)) * 2 - 1
+    prev = jnp.zeros((1, 1, 32, 32, 3))  # black previous output
+    out = eng.generate_window(
+        st, _embeds(1, cfg=False), jax.random.PRNGKey(0),
+        input_frames=frames, last_output_frames=prev,
+    )
+    # the overlap frame (index 0) should be roughly the decoded black frame;
+    # both frames derive from prev anchors (not input) since use_img2img=False
+    assert out.shape == (1, 2, 32, 32, 3)
+
+
+def test_cfg_equals_uncond_at_scale_one(engine):
+    """guidance_scale=1 disables CFG: the uncond/cond split must vanish."""
+    eng = AnimationEngine(
+        EngineModels(
+            unet=engine.m.unet, unet_params=engine.m.unet_params,
+            vae=engine.m.vae, vae_params=engine.m.vae_params,
+        ),
+        engine.schedule,
+    )
+    st_cfg = WindowStatic(steps=2, guidance_scale=1.0, frame_count=2, height=32, width=32)
+    assert not st_cfg.do_cfg
+    e = _embeds(1, cfg=False)
+    out = eng.generate_window(st_cfg, e, jax.random.PRNGKey(0))
+    assert out.shape == (1, 2, 32, 32, 3)
+
+
+def test_w_embedding_shape_and_values():
+    w = jnp.asarray([7.5])
+    emb = get_w_embedding(w, 256)
+    assert emb.shape == (1, 256)
+    # sin/cos structure: first half sines of w*1000*freqs
+    assert abs(float(emb[0, 0]) - np.sin(7500.0)) < 1e-3
+
+
+def test_window_fn_cached(engine):
+    eng = AnimationEngine(
+        EngineModels(
+            unet=engine.m.unet, unet_params=engine.m.unet_params,
+            vae=engine.m.vae, vae_params=engine.m.vae_params,
+        ),
+        engine.schedule,
+    )
+    st = WindowStatic(steps=2, guidance_scale=1.0, frame_count=2, height=32, width=32)
+    f1 = eng.make_window_fn(st)
+    f2 = eng.make_window_fn(st)
+    assert f1 is f2

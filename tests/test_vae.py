@@ -1,0 +1,67 @@
+"""VAE structural + mapping tests (tiny config, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from controlanimate_tpu.models.vae import AutoencoderKL
+from controlanimate_tpu.weights.vae_weights import normalize_vae_keys, vae_mapping
+
+TINY_CH = (8, 16, 16, 16)
+
+
+def make():
+    vae = AutoencoderKL(block_out_channels=TINY_CH, groups=4)
+    x = jnp.zeros((1, 32, 32, 3))
+    params = vae.init(jax.random.PRNGKey(0), x)["params"]
+    return vae, params
+
+
+def test_shapes_and_roundtrip():
+    vae, params = make()
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3)) * 0.5
+    z = vae.apply({"params": params}, x, method=AutoencoderKL.encode)
+    assert z.shape == (2, 4, 4, 4)  # H/8, W/8, latent 4
+    y = vae.apply({"params": params}, z, method=AutoencoderKL.decode)
+    assert y.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_posterior_sampling_keyed():
+    vae, params = make()
+    x = jnp.ones((1, 32, 32, 3)) * 0.1
+    z1 = vae.apply({"params": params}, x, jax.random.PRNGKey(1), method=AutoencoderKL.encode)
+    z2 = vae.apply({"params": params}, x, jax.random.PRNGKey(2), method=AutoencoderKL.encode)
+    z_mode = vae.apply({"params": params}, x, method=AutoencoderKL.encode)
+    assert not np.allclose(np.asarray(z1), np.asarray(z2))
+    assert not np.allclose(np.asarray(z1), np.asarray(z_mode))
+
+
+def test_mapping_covers_every_param():
+    _, params = make()
+
+    def leaf_paths(tree, prefix=""):
+        out = []
+        for k in sorted(tree):
+            p = f"{prefix}/{k}" if prefix else k
+            if isinstance(tree[k], dict):
+                out.extend(leaf_paths(tree[k], p))
+            else:
+                out.append(p)
+        return out
+
+    mapped = {f for _, f, _ in vae_mapping(TINY_CH)}
+    leaves = set(leaf_paths(params))
+    assert not (leaves - mapped), f"unmapped: {sorted(leaves - mapped)[:8]}"
+    assert not (mapped - leaves), f"phantom: {sorted(mapped - leaves)[:8]}"
+
+
+def test_legacy_attention_key_normalization():
+    sd = {
+        "encoder.mid_block.attentions.0.query.weight": np.zeros((8, 8, 1, 1)),
+        "encoder.mid_block.attentions.0.proj_attn.bias": np.zeros((8,)),
+    }
+    out = normalize_vae_keys(sd)
+    assert "encoder.mid_block.attentions.0.to_q.weight" in out
+    assert out["encoder.mid_block.attentions.0.to_q.weight"].shape == (8, 8)
+    assert "encoder.mid_block.attentions.0.to_out.0.bias" in out
