@@ -1,0 +1,204 @@
+"""Tests: stitching ops, prompt weighting, LoRA fuse, LDM conversion, TI."""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from controlanimate_tpu.ops.blending import blend_overlap
+from controlanimate_tpu.ops.color_match import hist_match, match_colors, mkl_transfer
+
+
+def test_hist_match_exact():
+    rs = np.random.RandomState(0)
+    src = jnp.asarray(rs.rand(1, 8, 8, 3).astype(np.float32))
+    ref = jnp.asarray(rs.rand(8, 8, 3).astype(np.float32))
+    out = hist_match(src, ref)
+    # matched image must have exactly the reference's sorted values per channel
+    for c in range(3):
+        np.testing.assert_allclose(
+            np.sort(np.asarray(out)[0, :, :, c].ravel()),
+            np.sort(np.asarray(ref)[:, :, c].ravel()),
+            atol=1e-6,
+        )
+
+
+def test_mkl_matches_moments():
+    rs = np.random.RandomState(1)
+    src = jnp.asarray((rs.rand(16, 16, 3) * 0.5).astype(np.float32))
+    ref = jnp.asarray((rs.rand(16, 16, 3) * 0.8 + 0.1).astype(np.float32))
+    out = mkl_transfer(src, ref)
+    out_flat = np.asarray(out).reshape(-1, 3)
+    ref_flat = np.asarray(ref).reshape(-1, 3)
+    np.testing.assert_allclose(out_flat.mean(0), ref_flat.mean(0), atol=1e-3)
+    np.testing.assert_allclose(np.cov(out_flat.T), np.cov(ref_flat.T), atol=1e-3)
+
+
+def test_match_colors_pipeline():
+    rs = np.random.RandomState(2)
+    frames = jnp.asarray(rs.rand(3, 8, 8, 3).astype(np.float32))
+    ref = jnp.asarray(rs.rand(8, 8, 3).astype(np.float32))
+    out = match_colors(frames, ref)
+    assert out.shape == frames.shape
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+def test_blend_overlap_weights():
+    """alpha_i = (K-i-0.5)/K (reference: vid2vid.py:225-227)."""
+    K = 4
+    new = jnp.ones((K, 2, 2, 3))
+    prev = jnp.zeros((K, 2, 2, 3))
+    out = blend_overlap(new, prev)
+    for i in range(K):
+        alpha = (K - i - 0.5) / K
+        np.testing.assert_allclose(float(out[i, 0, 0, 0]), 1 - alpha, rtol=1e-5)
+
+
+def test_prompt_parser():
+    from controlanimate_tpu.pipelines.prompt_weighting import parse_weighted_prompt
+
+    frags = parse_weighted_prompt("a (red car)+ driving, fast++ (muscle body)0.2")
+    d = {f.text: f.weight for f in frags}
+    assert abs(d["red car"] - 1.1) < 1e-6
+    assert abs(d["fast"] - 1.1**2) < 1e-6
+    assert abs(d["muscle body"] - 0.2) < 1e-6
+    assert "a" in d and abs(d["a"] - 1.0) < 1e-6
+    # negatives
+    frags = parse_weighted_prompt("(blurry)--, easynegative+")
+    d = {f.text: f.weight for f in frags}
+    assert abs(d["blurry"] - 1.1**-2) < 1e-6
+    assert abs(d["easynegative"] - 1.1) < 1e-6
+
+
+def test_weighted_encoding_changes_embeds():
+    from controlanimate_tpu.models.tokenizer import CLIPTokenizer
+    from controlanimate_tpu.pipelines.prompt_weighting import encode_weighted_prompt
+
+    tok = CLIPTokenizer.tiny()
+    D = 8
+
+    def encode_fn(ids):
+        # deterministic fake encoder: embedding = f(ids)
+        return jnp.asarray(
+            np.stack([np.outer(np.asarray(ids[0]) % 7, np.arange(1, D + 1))], 0),
+            jnp.float32,
+        )
+
+    e_plain = encode_weighted_prompt(tok, encode_fn, "hello world")
+    e_weighted = encode_weighted_prompt(tok, encode_fn, "hello (world)++")
+    assert e_plain.shape == (1, 77, D)
+    assert not np.allclose(np.asarray(e_plain), np.asarray(e_weighted))
+
+
+def test_lora_fuse_kohya_and_peft():
+    from controlanimate_tpu.weights.lora import fuse_lora
+
+    rs = np.random.RandomState(0)
+    W = rs.randn(8, 6).astype(np.float32)
+    sd = {"down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q.weight": W}
+    up, down = rs.randn(8, 2).astype(np.float32), rs.randn(2, 6).astype(np.float32)
+
+    kohya = {
+        "lora_unet_down_blocks_0_attentions_0_transformer_blocks_0_attn1_to_q.lora_up.weight": up,
+        "lora_unet_down_blocks_0_attentions_0_transformer_blocks_0_attn1_to_q.lora_down.weight": down,
+        "lora_unet_down_blocks_0_attentions_0_transformer_blocks_0_attn1_to_q.alpha": np.asarray(2.0),
+    }
+    fused, n = fuse_lora(sd, kohya, scale=0.5)
+    assert n == 1
+    np.testing.assert_allclose(
+        fused["down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q.weight"],
+        W + 0.5 * (2.0 / 2) * up @ down,
+        rtol=1e-5,
+    )
+
+    peft = {
+        "down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q.lora_A.weight": down,
+        "down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q.lora_B.weight": up,
+    }
+    fused2, n2 = fuse_lora(sd, peft, scale=1.0)
+    assert n2 == 1
+    np.testing.assert_allclose(
+        fused2["down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q.weight"],
+        W + up @ down,  # alpha defaults to rank -> factor 1
+        rtol=1e-5,
+    )
+
+
+def test_motion_lora_processor_format():
+    from controlanimate_tpu.weights.lora import fuse_lora
+
+    rs = np.random.RandomState(1)
+    key = "down_blocks.0.motion_modules.0.temporal_transformer.transformer_blocks.0.attention_blocks.0.to_q.weight"
+    W = rs.randn(8, 8).astype(np.float32)
+    up, down = rs.randn(8, 4).astype(np.float32), rs.randn(4, 8).astype(np.float32)
+    lora = {
+        "down_blocks.0.motion_modules.0.temporal_transformer.transformer_blocks.0.attention_blocks.0.processor.to_q_lora.up.weight": up,
+        "down_blocks.0.motion_modules.0.temporal_transformer.transformer_blocks.0.attention_blocks.0.processor.to_q_lora.down.weight": down,
+    }
+    fused, n = fuse_lora({key: W}, lora)
+    assert n == 1
+    np.testing.assert_allclose(fused[key], W + up @ down, rtol=1e-5)
+
+
+def test_ldm_unet_key_conversion():
+    from controlanimate_tpu.weights.ldm_conversion import convert_ldm_unet
+
+    sd = {
+        "model.diffusion_model.time_embed.0.weight": np.zeros((4, 4)),
+        "model.diffusion_model.input_blocks.0.0.weight": np.zeros((4, 4, 3, 3)),
+        "model.diffusion_model.input_blocks.1.0.in_layers.2.weight": np.zeros((4, 4, 3, 3)),
+        "model.diffusion_model.input_blocks.1.1.proj_in.weight": np.zeros((4, 4, 1, 1)),
+        "model.diffusion_model.input_blocks.3.0.op.weight": np.zeros((4, 4, 3, 3)),
+        "model.diffusion_model.middle_block.1.norm.weight": np.zeros((4,)),
+        "model.diffusion_model.output_blocks.2.2.conv.weight": np.zeros((4, 4, 3, 3)),
+        "model.diffusion_model.output_blocks.3.0.skip_connection.weight": np.zeros((4, 4, 1, 1)),
+        "model.diffusion_model.out.0.weight": np.zeros((4,)),
+    }
+    out = convert_ldm_unet(sd)
+    assert "time_embedding.linear_1.weight" in out
+    assert "conv_in.weight" in out
+    assert "down_blocks.0.resnets.0.conv1.weight" in out
+    assert "down_blocks.0.attentions.0.proj_in.weight" in out
+    assert "down_blocks.0.downsamplers.0.conv.weight" in out
+    assert "mid_block.attentions.0.norm.weight" in out
+    assert "up_blocks.0.upsamplers.0.conv.weight" in out
+    assert "up_blocks.1.resnets.0.conv_shortcut.weight" in out
+    assert "conv_norm_out.weight" in out
+
+
+def test_ldm_vae_key_conversion():
+    from controlanimate_tpu.weights.ldm_conversion import convert_ldm_vae
+
+    sd = {
+        "first_stage_model.encoder.down.0.block.0.nin_shortcut.weight": np.zeros((4, 4, 1, 1)),
+        "first_stage_model.encoder.down.1.downsample.conv.weight": np.zeros((4, 4, 3, 3)),
+        "first_stage_model.decoder.up.0.block.1.conv1.weight": np.zeros((4, 4, 3, 3)),
+        "first_stage_model.decoder.up.3.upsample.conv.weight": np.zeros((4, 4, 3, 3)),
+        "first_stage_model.encoder.mid.attn_1.q.weight": np.zeros((4, 4, 1, 1)),
+        "first_stage_model.quant_conv.weight": np.zeros((8, 8, 1, 1)),
+    }
+    out = convert_ldm_vae(sd)
+    assert "encoder.down_blocks.0.resnets.0.conv_shortcut.weight" in out
+    assert "encoder.down_blocks.1.downsamplers.0.conv.weight" in out
+    # LDM decoder level 0 is the LOWEST resolution -> diffusers up_blocks.3
+    assert "decoder.up_blocks.3.resnets.1.conv1.weight" in out
+    assert "decoder.up_blocks.0.upsamplers.0.conv.weight" in out
+    assert out["encoder.mid_block.attentions.0.to_q.weight"].shape == (4, 4)
+
+
+def test_real_easynegative_ti_loads():
+    """The reference ships the actual easynegative embedding — load it."""
+    path = Path("/root/reference/models/TI/easynegative.safetensors")
+    if not path.exists():
+        pytest.skip("TI file absent")
+    from controlanimate_tpu.models.tokenizer import CLIPTokenizer
+    from controlanimate_tpu.weights.textual_inversion import register_textual_inversions
+
+    tok = CLIPTokenizer.tiny()
+    mat = register_textual_inversions(tok, [str(path)])
+    assert mat is not None and mat.ndim == 2 and mat.shape[1] == 768
+    ids = tok.tokenize_to_ids("easynegative")
+    assert len(ids) == mat.shape[0]
+    assert all(i >= len(tok.vocab) for i in ids)
