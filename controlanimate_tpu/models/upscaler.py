@@ -1,0 +1,164 @@
+"""RealESRGAN (RRDBNet) upscaler in Flax + Upscaler facade.
+
+Capability parity with the reference post-processing
+(reference: modules/upscaler.py: RealESRGAN_x4plus_anime_6B RRDBNet with 6
+blocks, netscale 4, optional GFPGAN face enhancement, scale clamp 1<s<8).
+The reference runs torch/CUDA per frame; here the RRDB network is a jitted
+Flax model batched over frames.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..weights import ingest
+
+
+def lrelu(x):
+    return nn.leaky_relu(x, negative_slope=0.2)
+
+
+class ResidualDenseBlock(nn.Module):
+    growth: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        feats = x.shape[-1]
+        c1 = lrelu(nn.Conv(self.growth, (3, 3), padding=1, name="conv1", dtype=self.dtype)(x))
+        c2 = lrelu(nn.Conv(self.growth, (3, 3), padding=1, name="conv2", dtype=self.dtype)(
+            jnp.concatenate([x, c1], -1)))
+        c3 = lrelu(nn.Conv(self.growth, (3, 3), padding=1, name="conv3", dtype=self.dtype)(
+            jnp.concatenate([x, c1, c2], -1)))
+        c4 = lrelu(nn.Conv(self.growth, (3, 3), padding=1, name="conv4", dtype=self.dtype)(
+            jnp.concatenate([x, c1, c2, c3], -1)))
+        c5 = nn.Conv(feats, (3, 3), padding=1, name="conv5", dtype=self.dtype)(
+            jnp.concatenate([x, c1, c2, c3, c4], -1))
+        return x + 0.2 * c5
+
+
+class RRDB(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = ResidualDenseBlock(name="rdb1", dtype=self.dtype)(x)
+        h = ResidualDenseBlock(name="rdb2", dtype=self.dtype)(h)
+        h = ResidualDenseBlock(name="rdb3", dtype=self.dtype)(h)
+        return x + 0.2 * h
+
+
+class RRDBNet(nn.Module):
+    num_feat: int = 64
+    num_block: int = 6  # anime_6B variant
+    scale: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, H, W, 3) in [0,1] -> (B, H*scale, W*scale, 3)."""
+        feat = nn.Conv(self.num_feat, (3, 3), padding=1, name="conv_first", dtype=self.dtype)(x)
+        body = feat
+        for i in range(self.num_block):
+            body = RRDB(name=f"body_{i}", dtype=self.dtype)(body)
+        body = nn.Conv(self.num_feat, (3, 3), padding=1, name="conv_body", dtype=self.dtype)(body)
+        feat = feat + body
+        B, H, W, C = feat.shape
+        feat = jax.image.resize(feat, (B, H * 2, W * 2, C), "nearest")
+        feat = lrelu(nn.Conv(self.num_feat, (3, 3), padding=1, name="conv_up1", dtype=self.dtype)(feat))
+        if self.scale == 4:
+            B, H, W, C = feat.shape
+            feat = jax.image.resize(feat, (B, H * 2, W * 2, C), "nearest")
+        feat = lrelu(nn.Conv(self.num_feat, (3, 3), padding=1, name="conv_up2", dtype=self.dtype)(feat))
+        feat = lrelu(nn.Conv(self.num_feat, (3, 3), padding=1, name="conv_hr", dtype=self.dtype)(feat))
+        return nn.Conv(3, (3, 3), padding=1, name="conv_last", dtype=self.dtype)(feat)
+
+
+def rrdbnet_params_from_torch(sd: dict[str, np.ndarray], num_block: int = 6) -> dict:
+    """basicsr RRDBNet state dict -> flax params."""
+    if "params_ema" in sd or any(k.startswith("params_ema.") for k in sd):
+        sd = {k[len("params_ema."):]: v for k, v in sd.items() if k.startswith("params_ema.")} or sd
+    elif any(k.startswith("params.") for k in sd):
+        sd = {k[len("params."):]: v for k, v in sd.items() if k.startswith("params.")}
+
+    def conv(t):
+        return {"kernel": ingest.conv_kernel(sd[f"{t}.weight"]), "bias": sd[f"{t}.bias"]}
+
+    params: dict = {
+        "conv_first": conv("conv_first"),
+        "conv_body": conv("conv_body"),
+        "conv_up1": conv("conv_up1"),
+        "conv_up2": conv("conv_up2"),
+        "conv_hr": conv("conv_hr"),
+        "conv_last": conv("conv_last"),
+    }
+    for i in range(num_block):
+        blk = {}
+        for r in (1, 2, 3):
+            rdb = {}
+            for c in range(1, 6):
+                rdb[f"conv{c}"] = conv(f"body.{i}.rdb{r}.conv{c}")
+            blk[f"rdb{r}"] = rdb
+        params[f"body_{i}"] = blk
+    return params
+
+
+class Upscaler:
+    """Per-frame upscale facade (reference: modules/upscaler.py:17-74)."""
+
+    def __init__(
+        self,
+        scale: float,
+        use_face_enhancer: bool = False,
+        upscale_first: bool = False,
+        model_path: Optional[str] = None,
+        num_block: int = 6,
+    ):
+        if not (1 < scale < 8):
+            raise ValueError("upscale must be within (1, 8) (reference: upscaler.py:64)")
+        self.scale = float(scale)
+        self.upscale_first = upscale_first
+        self.use_face_enhancer = use_face_enhancer
+        path = Path(model_path or "models/Upscalers/RealESRGAN_x4plus_anime_6B.pth")
+        if not path.exists():
+            raise FileNotFoundError(f"RealESRGAN weights not found at {path}")
+        self.model = RRDBNet(num_block=num_block)
+        self.params = rrdbnet_params_from_torch(ingest.load_state_dict(path), num_block)
+        self._jit = jax.jit(
+            lambda p, x: self.model.apply({"params": p}, x)
+        )
+        self.face_enhancer = None
+        if use_face_enhancer:
+            try:
+                from .gfpgan import FaceEnhancer
+
+                self.face_enhancer = FaceEnhancer()
+            except Exception:
+                self.face_enhancer = None
+
+    def upscale_batch(self, frames: np.ndarray) -> np.ndarray:
+        """(F, H, W, 3) uint8 -> (F, H*s, W*s, 3) uint8."""
+        x = jnp.asarray(frames, jnp.float32) / 255.0
+        y = np.asarray(self._jit(self.params, x)).clip(0, 1)
+        out = (y * 255.0 + 0.5).astype(np.uint8)
+        if abs(self.scale - 4.0) > 1e-6:
+            import cv2
+
+            h = int(frames.shape[1] * self.scale)
+            w = int(frames.shape[2] * self.scale)
+            out = np.stack([
+                cv2.resize(f, (w, h), interpolation=cv2.INTER_LANCZOS4) for f in out
+            ])
+        return out
+
+    def __call__(self, frame: np.ndarray) -> np.ndarray:
+        out = self.upscale_batch(frame[None])[0]
+        if self.face_enhancer is not None:
+            out = self.face_enhancer(out)
+        return out

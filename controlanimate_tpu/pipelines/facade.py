@@ -1,0 +1,302 @@
+"""ControlAnimatePipeline — model assembly + per-window animate() facade.
+
+Capability parity with the reference facade
+(reference: modules/controlanimate_pipeline.py): builds
+tokenizer / CLIP text / VAE / UNet3D / ControlNets / IP-Adapter from a
+RunConfig, applies the weight matrix (motion module, DreamBooth, LoRA,
+LCM-LoRA, TI), runs Compel-style prompt weighting, and exposes
+`animate(input_frames, last_output_frames, ...)`.
+
+Unlike the reference, model state is immutable after construction (no
+.half()/.to('cuda') mutation, no attn-processor swapping) and all device
+work happens inside the AnimationEngine's jitted window programs.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ArchConfig, RunConfig
+from ..models.clip import CLIPTextConfig, CLIPTextModel
+from ..models.controlnet import ControlNetModel
+from ..models.tokenizer import CLIPTokenizer
+from ..models.unet3d import UNet3DConditionModel, UNet3DConfig
+from ..models.vae import AutoencoderKL
+from ..schedulers import make_schedule
+from ..weights import ingest
+from ..weights.clip_weights import text_params_from_torch
+from ..weights.controlnet_weights import controlnet_params_from_torch
+from ..weights.ldm_conversion import split_ldm_checkpoint
+from ..weights.lora import fuse_lora, split_lora_by_component
+from ..weights.textual_inversion import register_textual_inversions
+from ..weights.unet_weights import unet_params_from_torch
+from ..weights.vae_weights import vae_params_from_torch
+from .engine import AnimationEngine, EngineModels, WindowStatic
+from .prompt_weighting import encode_weighted_prompt
+
+
+@dataclass
+class TextStack:
+    tokenizer: CLIPTokenizer
+    model: CLIPTextModel
+    params: Any
+
+    def encode(self, prompt: str, clip_skip: int = 0) -> jnp.ndarray:
+        def encode_fn(ids):
+            out = self.model.apply({"params": self.params}, ids, clip_skip=clip_skip)
+            return out["encoder_hidden_states"]
+
+        return encode_weighted_prompt(self.tokenizer, encode_fn, prompt)
+
+
+class ControlAnimatePipeline:
+    """Build once per run config; drive per window via animate()."""
+
+    def __init__(
+        self,
+        config: RunConfig,
+        *,
+        models: Optional[EngineModels] = None,
+        text_stack: Optional[TextStack] = None,
+        ip_adapter: Optional[Any] = None,
+        dtype: jnp.dtype = jnp.float32,
+    ):
+        self.config = config
+        self.arch = (
+            ArchConfig.from_yaml(config.inference_config_path)
+            if Path(config.inference_config_path).exists()
+            else ArchConfig()
+        )
+        self.dtype = dtype
+        self.ip_adapter = ip_adapter
+        if models is not None and text_stack is not None:
+            self.models = models
+            self.text = text_stack
+        else:
+            self._build_from_disk()
+        schedule = make_schedule(
+            beta_start=self.arch.beta_start,
+            beta_end=self.arch.beta_end,
+            beta_schedule=self.arch.beta_schedule,
+            num_train_timesteps=self.arch.num_train_timesteps,
+        )
+        self.engine = AnimationEngine(self.models, schedule)
+        self._prompt_cache: dict = {}
+        if config.use_ipadapter and self.ip_adapter is None:
+            from .ip_adapter import IPAdapter
+
+            self.ip_adapter = IPAdapter.from_config(config)
+
+    # ------------------------------------------------------------------ build
+    def _build_from_disk(self):
+        cfg = self.config
+        base = Path(cfg.lcm_model_path if cfg.use_lcm else cfg.pretrained_model_path)
+        if not base.exists():
+            raise FileNotFoundError(
+                f"model path {base} not found; pass models=/text_stack= for "
+                "weight-free construction"
+            )
+
+        # DreamBooth single-file overrides (reference: util.py:123-141)
+        db_sds = None
+        if cfg.dreambooth_path and Path(cfg.dreambooth_path).exists() and not cfg.use_lcm:
+            db_sds = split_ldm_checkpoint(ingest.load_state_dict(cfg.dreambooth_path))
+
+        # tokenizer + text encoder
+        tokenizer = CLIPTokenizer.from_pretrained(base / "tokenizer")
+        extra = register_textual_inversions(
+            tokenizer, [p for p in cfg.textual_inversion_paths]
+        )
+        te_cfg_json, te_sd = ingest.load_hf_component(base, "text_encoder")
+        if db_sds and db_sds["clip"]:
+            te_sd = db_sds["clip"]
+        tcfg = CLIPTextConfig.from_json(
+            te_cfg_json, num_extra_embeddings=0 if extra is None else len(extra)
+        )
+        text_model = CLIPTextModel(tcfg, dtype=self.dtype)
+        text_params = text_params_from_torch(te_sd, tcfg.num_layers, extra_embeddings=extra)
+
+        # VAE (snapshot | single file | DreamBooth)
+        if cfg.vae_path and Path(cfg.vae_path).exists():
+            from ..weights.ldm_conversion import convert_ldm_vae
+
+            vae_sd = convert_ldm_vae(ingest.load_state_dict(cfg.vae_path))
+            vae_json: dict = {}
+        elif db_sds and db_sds["vae"]:
+            vae_sd, vae_json = db_sds["vae"], {}
+        else:
+            vae_json, vae_sd = ingest.load_hf_component(base, "vae")
+        vae = AutoencoderKL(
+            block_out_channels=tuple(vae_json.get("block_out_channels", (128, 256, 512, 512))),
+            scaling_factor=vae_json.get("scaling_factor", 0.18215),
+            dtype=self.dtype,
+        )
+        vae_params = vae_params_from_torch(vae_sd, vae.block_out_channels)
+
+        # UNet3D (2D base or DreamBooth + motion module overlay)
+        unet_json, unet_sd = ingest.load_hf_component(base, "unet")
+        if db_sds and db_sds["unet"]:
+            unet_sd = db_sds["unet"]
+
+        # LoRA fusing (reference: util.py:143-156)
+        for lp, lw in zip(cfg.lora_model_paths, cfg.lora_weights or [1.0] * len(cfg.lora_model_paths)):
+            if not Path(lp).exists():
+                continue
+            parts = split_lora_by_component(ingest.load_state_dict(lp))
+            unet_sd, n_u = fuse_lora(unet_sd, parts["unet"], scale=float(lw))
+            if parts["text_encoder"]:
+                te_sd, n_t = fuse_lora(te_sd, parts["text_encoder"], scale=float(lw))
+                text_params = text_params_from_torch(
+                    te_sd, tcfg.num_layers, extra_embeddings=extra
+                )
+
+        motion_sd = None
+        if cfg.motion_module and Path(cfg.motion_module).exists() and not cfg.use_lcm:
+            motion_sd = ingest.load_state_dict(cfg.motion_module)
+            # motion-LoRA merge (reference: util.py:165-173)
+            for mp, ma in zip(cfg.motion_lora_paths, cfg.motion_lora_alphas or [1.0] * len(cfg.motion_lora_paths)):
+                if Path(mp).exists():
+                    motion_sd, _ = fuse_lora(
+                        motion_sd, ingest.load_state_dict(mp), scale=float(ma)
+                    )
+
+        ip_tokens = 4 if cfg.use_ipadapter else 0
+        ucfg = UNet3DConfig.from_arch(self.arch, unet_json, ip_tokens=ip_tokens)
+        if cfg.use_lcm:
+            ucfg = UNet3DConfig(**{**ucfg.__dict__, "use_motion_module": False})
+        unet = UNet3DConditionModel(ucfg, dtype=self.dtype)
+        init_params = self._init_unet_params(unet, ucfg)
+        unet_params, missing = unet_params_from_torch(
+            unet_sd, ucfg, motion_sd=motion_sd, init_params=init_params, strict_2d=True
+        )
+
+        # ControlNets
+        cns, cn_params = [], []
+        if not cfg.use_lcm or cfg.controlnets:
+            for name in cfg.controlnets:
+                path = Path("models/ControlNet") / name.split("/")[-1]
+                if not path.exists():
+                    path = Path(name)
+                cn_json, cn_sd = ingest.load_hf_component(path, "")
+                cn_cfg = UNet3DConfig(
+                    **{**UNet3DConfig().__dict__, "use_motion_module": False}
+                )
+                cns.append(ControlNetModel(cn_cfg, dtype=self.dtype))
+                cn_params.append(controlnet_params_from_torch(cn_sd, cn_cfg))
+
+        self.models = EngineModels(
+            unet=unet,
+            unet_params=unet_params,
+            vae=vae,
+            vae_params=vae_params,
+            controlnets=cns,
+            controlnet_params=cn_params,
+            cond_scales=list(cfg.cond_scale) or [1.0] * len(cns),
+        )
+        self.text = TextStack(tokenizer, text_model, text_params)
+
+    @staticmethod
+    def _init_unet_params(unet: UNet3DConditionModel, ucfg: UNet3DConfig):
+        x = jnp.zeros((1, 2, 8, 8, ucfg.in_channels))
+        ctx = jnp.zeros((1, 7, ucfg.cross_attention_dim))
+        kw = {}
+        if ucfg.time_cond_proj_dim:
+            kw["timestep_cond"] = jnp.zeros((1, ucfg.time_cond_proj_dim))
+        return unet.init(jax.random.PRNGKey(0), x, jnp.asarray([1]), ctx, **kw)["params"]
+
+    # --------------------------------------------------------------- prompts
+    def _encode_prompts(self, prompt: str, n_prompt: str, clip_skip: int = 0):
+        key = (prompt, n_prompt, clip_skip)
+        if key not in self._prompt_cache:
+            pos = self.text.encode(prompt, clip_skip)
+            neg = self.text.encode(n_prompt, clip_skip)
+            self._prompt_cache[key] = (pos, neg)
+        return self._prompt_cache[key]
+
+    # --------------------------------------------------------------- animate
+    def animate(
+        self,
+        input_frames: Optional[np.ndarray],  # (F, H, W, 3) uint8 or None
+        last_output_frames: Optional[np.ndarray],  # (K, H, W, 3) uint8 or None
+        *,
+        overlaps: int = 0,
+        strength: Optional[float] = None,
+        seed: int = 0,
+        epoch: int = 0,
+        frame_count: Optional[int] = None,
+    ) -> np.ndarray:
+        """Generate one window; returns (F, H, W, 3) uint8 frames.
+
+        Mirrors reference ControlAnimatePipeline.animate
+        (modules/controlanimate_pipeline.py:124-169) + the engine __call__.
+        """
+        cfg = self.config
+        strength = cfg.strength if strength is None else strength
+
+        pos, neg = self._encode_prompts(cfg.prompt, cfg.n_prompt)
+
+        # IP-Adapter image tokens appended on the sequence axis
+        # (reference: controlanimation_pipeline.py:698-710)
+        ipa_scale = cfg.ipa_scale
+        if self.ip_adapter is not None:
+            if last_output_frames is not None and len(last_output_frames):
+                img_e, img_u = self.ip_adapter.embed_image(last_output_frames[0])
+            else:
+                img_e = img_u = jnp.zeros((1, self.ip_adapter.num_tokens, pos.shape[-1]))
+            pos = jnp.concatenate([pos, img_e], axis=1)
+            neg = jnp.concatenate([neg, img_u], axis=1)
+
+        st = WindowStatic(
+            scheduler_name=cfg.scheduler,
+            steps=cfg.steps,
+            strength=float(strength),
+            guidance_scale=float(cfg.guidance_scale),
+            use_lcm=cfg.use_lcm,
+            lcm_origin_steps=cfg.lcm_origin_steps,
+            guess_mode=cfg.guess_mode,
+            overlaps=int(overlaps),
+            use_img2img=cfg.use_img2img,
+            has_input_frames=input_frames is not None,
+            has_last_output_frames=last_output_frames is not None,
+            ipa_scale=float(ipa_scale),
+            frame_count=frame_count or cfg.frame_count,
+            height=cfg.height,
+            width=cfg.width,
+        )
+
+        do_cfg = st.do_cfg
+        text_embeds = jnp.concatenate([neg, pos], axis=0) if do_cfg else pos
+
+        # condition images per ControlNet (host annotators, batched)
+        cond_images = []
+        if self.models.controlnets and input_frames is not None:
+            from ..models.annotators import annotate_frames
+
+            for name in cfg.controlnets:
+                maps = annotate_frames(name, input_frames)  # (F, H, W, 3) [0,1]
+                cond_images.append(jnp.asarray(maps, jnp.float32)[None])
+
+        def to_float(frames):
+            if frames is None:
+                return None
+            arr = np.asarray(frames, np.float32) / 255.0 * 2.0 - 1.0
+            return jnp.asarray(arr)[None]  # add batch axis
+
+        key = jax.random.PRNGKey(seed + epoch * 7919)
+        out = self.engine.generate_window(
+            st,
+            text_embeds,
+            key,
+            cond_images=cond_images,
+            input_frames=to_float(input_frames),
+            last_output_frames=to_float(last_output_frames),
+        )
+        frames = np.asarray(out[0])  # (F, H, W, 3) in [0,1]
+        return (frames * 255.0 + 0.5).astype(np.uint8)

@@ -1,0 +1,180 @@
+"""IP-Adapter: image-prompt conditioning.
+
+Capability parity with the reference's IP-Adapter stack
+(reference: modules/ip_adapter.py, modules/resampler.py,
+modules/attention_processor.py): a CLIP vision tower embeds the anchor
+frame, a projection model lifts it to `num_tokens` context tokens appended
+to the text sequence, and the UNet's cross-attentions run a second K/V
+(to_k_ip/to_v_ip) over those tokens scaled by `ipa_scale`.
+
+Structural differences (TPU-first):
+  * the dual-stream attention lives in the UNet as a constructor flag
+    (models/layers.py Attention.ip_tokens) instead of runtime
+    attn-processor swaps (reference ip_adapter.py:95-134);
+  * IP K/V weights are addressed by structural path, so the reference's
+    regex index renumbering (ip_adapter.py:163-185, needed because motion
+    modules shift torch module iteration order) does not exist here.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..models.clip import CLIPVisionConfig, CLIPVisionModelWithProjection
+from ..weights import ingest
+from ..weights.clip_weights import vision_params_from_torch
+from ..weights.ingest import dense_kernel
+
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+class ImageProjModel(nn.Module):
+    """Linear projection of the global CLIP image embedding into
+    `num_tokens` context tokens (reference: ip_adapter.py:30-47)."""
+
+    cross_attention_dim: int = 768
+    num_tokens: int = 4
+
+    @nn.compact
+    def __call__(self, image_embeds: jnp.ndarray) -> jnp.ndarray:
+        B = image_embeds.shape[0]
+        x = nn.Dense(self.num_tokens * self.cross_attention_dim, name="proj")(image_embeds)
+        x = x.reshape(B, self.num_tokens, self.cross_attention_dim)
+        return nn.LayerNorm(name="norm")(x)
+
+
+def preprocess_clip_image(frame: np.ndarray, size: int = 224) -> np.ndarray:
+    """uint8 (H, W, 3) -> CLIP-normalized float (1, size, size, 3)."""
+    import cv2
+
+    img = cv2.resize(np.asarray(frame, np.uint8), (size, size), interpolation=cv2.INTER_CUBIC)
+    img = img.astype(np.float32) / 255.0
+    img = (img - CLIP_MEAN) / CLIP_STD
+    return img[None]
+
+
+class IPAdapter:
+    """Host-side bundle: CLIP vision tower + projection + UNet K/V weights."""
+
+    def __init__(
+        self,
+        vision_model: Optional[CLIPVisionModelWithProjection],
+        vision_params: Any,
+        proj_model: ImageProjModel,
+        proj_params: Any,
+        ip_sd: Optional[dict] = None,
+        num_tokens: int = 4,
+    ):
+        self.vision_model = vision_model
+        self.vision_params = vision_params
+        self.proj_model = proj_model
+        self.proj_params = proj_params
+        self.ip_sd = ip_sd or {}
+        self.num_tokens = num_tokens
+        self._embed_cache: dict = {}
+
+    @classmethod
+    def from_config(cls, config) -> "IPAdapter":
+        enc_path = config.ipadapter_image_encoder_path or "models/IP-Adapter/image_encoder"
+        ckpt_path = config.ipadapter_ckpt_path or "models/IP-Adapter/ip-adapter_sd15.bin"
+        if not Path(ckpt_path).exists():
+            raise FileNotFoundError(
+                f"IP-Adapter checkpoint {ckpt_path} not found (reference default "
+                "paths: modules/controlanimate_pipeline.py:77-80)"
+            )
+        sd = ingest.load_state_dict(ckpt_path)
+        image_proj_sd = {k[len("image_proj."):]: v for k, v in sd.items() if k.startswith("image_proj.")}
+        ip_sd = {k[len("ip_adapter."):]: v for k, v in sd.items() if k.startswith("ip_adapter.")}
+
+        cfg_json = {}
+        cfg_file = Path(enc_path) / "config.json"
+        if cfg_file.exists():
+            cfg_json = json.loads(cfg_file.read_text()).get("vision_config", json.loads(cfg_file.read_text()))
+        vcfg = CLIPVisionConfig.from_json(cfg_json)
+        vm = CLIPVisionModelWithProjection(vcfg)
+        _, v_sd = ingest.load_hf_component(enc_path, "")
+        v_params = vision_params_from_torch(v_sd, vcfg.num_layers)
+
+        proj = ImageProjModel(num_tokens=4)
+        proj_params = {
+            "proj": {
+                "kernel": dense_kernel(image_proj_sd["proj.weight"]),
+                "bias": image_proj_sd["proj.bias"],
+            },
+            "norm": {
+                "scale": image_proj_sd["norm.weight"],
+                "bias": image_proj_sd["norm.bias"],
+            },
+        }
+        return cls(vm, v_params, proj, proj_params, ip_sd=ip_sd)
+
+    @classmethod
+    def random_init(cls, clip_embed_dim: int = 16, cross_attention_dim: int = 768,
+                    num_tokens: int = 4, key=None) -> "IPAdapter":
+        """Weight-free construction for tests (no vision tower: callers embed
+        via `project` directly)."""
+        proj = ImageProjModel(cross_attention_dim=cross_attention_dim, num_tokens=num_tokens)
+        params = proj.init(key or jax.random.PRNGKey(0), jnp.zeros((1, clip_embed_dim)))["params"]
+        return cls(None, None, proj, params, num_tokens=num_tokens)
+
+    # ---------------------------------------------------------------- embeds
+    def project(self, image_embeds: jnp.ndarray) -> jnp.ndarray:
+        return self.proj_model.apply({"params": self.proj_params}, image_embeds)
+
+    def embed_image(self, frame: np.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """anchor frame uint8 (H, W, 3) -> (cond_tokens, uncond_tokens), each
+        (1, num_tokens, 768) (reference: get_image_embeds_4controlanimate,
+        ip_adapter.py:187-222: uncond = projection of zero embeds)."""
+        if self.vision_model is None:
+            raise RuntimeError("IPAdapter built without a vision tower")
+        px = jnp.asarray(preprocess_clip_image(frame))
+        out = self.vision_model.apply({"params": self.vision_params}, px)
+        cond = self.project(out["image_embeds"])
+        uncond = self.project(jnp.zeros_like(out["image_embeds"]))
+        return cond, uncond
+
+    # -------------------------------------------------------- UNet injection
+    def attn2_paths_in_checkpoint_order(self, ucfg) -> list[str]:
+        """Canonical enumeration of cross-attention modules matching the
+        original IP-Adapter checkpoint numbering (diffusers SD1.5 module
+        order: down_blocks, up_blocks, mid_block)."""
+        paths = []
+        for i, bt in enumerate(ucfg.down_block_types):
+            if not bt.startswith("CrossAttn"):
+                continue
+            for j in range(ucfg.layers_per_block):
+                paths.append(f"down_blocks_{i}_attentions_{j}")
+        for i, bt in enumerate(ucfg.up_block_types):
+            if not bt.startswith("CrossAttn"):
+                continue
+            for j in range(ucfg.layers_per_block + 1):
+                paths.append(f"up_blocks_{i}_attentions_{j}")
+        paths.append("mid_block_attentions_0")
+        return paths
+
+    def inject_into_unet_params(self, unet_params: dict, ucfg) -> dict:
+        """Write to_k_ip/to_v_ip weights into every attn2 of the param tree.
+
+        Checkpoint keys are '2k+1.to_{k,v}_ip.weight' — attn2 modules sit at
+        odd positions of the interleaved attn1/attn2 processor list."""
+        if not self.ip_sd:
+            return unet_params
+        paths = self.attn2_paths_in_checkpoint_order(ucfg)
+        for idx, path in enumerate(paths):
+            ck = 2 * idx + 1
+            kw = self.ip_sd.get(f"{ck}.to_k_ip.weight")
+            vw = self.ip_sd.get(f"{ck}.to_v_ip.weight")
+            if kw is None or vw is None:
+                continue
+            attn2 = unet_params[path]["transformer_blocks_0"]["attn2"]
+            attn2["to_k_ip"] = {"kernel": dense_kernel(np.asarray(kw))}
+            attn2["to_v_ip"] = {"kernel": dense_kernel(np.asarray(vw))}
+        return unet_params

@@ -1,0 +1,27 @@
+"""CLI entry point: `python main.py --config <yaml>`.
+
+Parity with the reference entry (reference: main.py:16-23), minus the
+exception-swallowing try/except — failures surface with full tracebacks.
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from scripts.vid2vid import vid2vid
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="TPU-native ControlAnimate vid2vid")
+    parser.add_argument("--config", type=str, required=True, help="path to a run yaml")
+    parser.add_argument("--max-windows", type=int, default=None,
+                        help="stop after N windows (debugging)")
+    args = parser.parse_args()
+    summary = vid2vid(args.config, max_windows=args.max_windows)
+    print(summary)
+
+
+if __name__ == "__main__":
+    main()

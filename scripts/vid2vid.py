@@ -1,0 +1,260 @@
+"""vid2vid orchestrator: the windowed epoch loop over a video stream.
+
+Behavioral parity with the reference orchestrator
+(reference: scripts/vid2vid.py:32-294): ffmpeg decode -> 16-frame windows
+with 8-frame overlap -> ControlAnimatePipeline.animate -> color match ->
+overlap blending -> upscale -> ffmpeg encode -> audio mux + minterpolate.
+
+Differences by design:
+  * immutable RunConfig + explicit StitchState (the reference mutates its
+    config object as a runtime channel, vid2vid.py:147-196);
+  * frame source/sink are injectable (ffmpeg subprocess, directory, or
+    in-memory arrays) so the loop runs in ffmpeg-less environments;
+  * color matching and blending run on device (ops/color_match.py,
+    ops/blending.py) over whole frame batches;
+  * encoder close uses process wait, not sleep(10) (vid2vid.py:273).
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+import jax.numpy as jnp
+
+from controlanimate_tpu.config import RunConfig, StitchState
+from controlanimate_tpu.io import media
+from controlanimate_tpu.ops.blending import blend_overlap
+from controlanimate_tpu.ops.color_match import match_colors
+
+
+def _round64(x: int) -> int:
+    return max((int(x) // 64) * 64, 64)
+
+
+def vid2vid(
+    config_path: Optional[str] = None,
+    config: Optional[RunConfig] = None,
+    pipeline=None,
+    frame_source: Optional[media.FrameSource] = None,
+    frame_sink: Optional[media.FrameSink] = None,
+    upscaler=None,
+    max_windows: Optional[int] = None,
+) -> dict:
+    """Run the full vid2vid loop. Returns a summary dict (frames written,
+    output path, seed)."""
+    cfg = config or RunConfig.from_yaml(config_path)
+
+    # ---- geometry (reference: vid2vid.py:73-96) ----
+    has_input = bool(cfg.input_video_path) and Path(cfg.input_video_path).exists()
+    width, height = cfg.width, cfg.height
+    if has_input and (not width or not height):
+        _, _, width, height = media.probe_video(cfg.input_video_path)
+    width, height = _round64(width or 512), _round64(height or 512)
+    cfg = cfg.replace(width=width, height=height)
+
+    # ---- seed (reference: vid2vid.py:147-148) ----
+    seed = cfg.seed if cfg.seed != -1 else int(np.random.randint(1, 2**16))
+
+    # ---- IO ----
+    own_source = frame_source is None
+    if frame_source is None and has_input:
+        if media.ffmpeg_available(cfg.ffmpeg_path):
+            frame_source = media.FFMPEGFrameSource(
+                cfg.input_video_path, width, height, cfg.fps,
+                start_time=cfg.start_time, end_time=cfg.end_time,
+                ffmpeg_path=cfg.ffmpeg_path,
+            )
+        elif Path(cfg.input_video_path).is_dir():
+            frame_source = media.DirectoryFrameSource(cfg.input_video_path, width, height)
+        else:
+            raise RuntimeError(
+                "input video given but ffmpeg is unavailable; provide a frame "
+                "directory or an explicit frame_source"
+            )
+
+    out_dir = Path(cfg.output_video_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    upscale = max(float(cfg.upscale), 1.0)
+    out_w, out_h = int(width * upscale), int(height * upscale)
+    raw_video_path = out_dir / "output_raw.mp4"
+    own_sink = frame_sink is None
+    if frame_sink is None:
+        if media.ffmpeg_available(cfg.ffmpeg_path):
+            frame_sink = media.FFMPEGFrameSink(
+                str(raw_video_path), out_w, out_h, cfg.fps,
+                crf=cfg.crf, ffmpeg_path=cfg.ffmpeg_path,
+            )
+        else:
+            frame_sink = media.DirectoryFrameSink(str(out_dir / "frames"))
+
+    # ---- pipeline ----
+    if pipeline is None:
+        from controlanimate_tpu.pipelines.facade import ControlAnimatePipeline
+
+        pipeline = ControlAnimatePipeline(cfg)
+
+    if upscaler is None and upscale > 1.0:
+        from controlanimate_tpu.models.upscaler import Upscaler
+
+        try:
+            upscaler = Upscaler(
+                upscale,
+                use_face_enhancer=cfg.use_face_enhancer,
+                upscale_first=cfg.upscale_first,
+                model_path=cfg.upscaler_model_path,
+            )
+        except FileNotFoundError:
+            upscaler = None  # no local RealESRGAN weights: emit raw frames
+
+    # ---- epoch loop (reference: vid2vid.py:168-268) ----
+    state = StitchState(seed=seed)
+    frames_written = 0
+    window = cfg.frame_count
+    overlap_length = cfg.overlap_length
+    done_initial_gen = not (cfg.use_ipadapter and cfg.do_initial_generation)
+
+    def read_n(n: int) -> list[np.ndarray]:
+        out = []
+        for _ in range(n):
+            if frame_source is None:
+                break
+            f = frame_source.read()
+            if f is None:
+                break
+            out.append(f)
+        return out
+
+    windows_run = 0
+    while True:
+        if max_windows is not None and windows_run >= max_windows:
+            break
+        overlap_inputs = list(state.overlap_input_frames)
+        new_frames = read_n(window - len(overlap_inputs)) if frame_source else []
+        if frame_source is not None and not new_frames:
+            break
+        if frame_source is None and max_windows is None and windows_run >= 1:
+            break
+
+        batch = overlap_inputs + new_frames
+        overlaps = len(state.overlap_frames)
+        if overlaps and cfg.loop_back_frames:
+            batch[:overlaps] = list(state.overlap_frames)  # (vid2vid.py:193-194)
+        input_frames = np.stack(batch) if batch else None
+        strength = cfg.overlap_strength if overlaps else cfg.strength
+
+        last_out = (
+            np.stack(state.last_output_frames) if state.last_output_frames else None
+        )
+
+        if not done_initial_gen:
+            # IP-Adapter baseline double pass (reference: vid2vid.py:199-212)
+            frames = pipeline.animate(
+                input_frames, last_out, overlaps=overlaps,
+                strength=strength, seed=seed, epoch=state.epoch,
+            )
+            state.last_output_frame = frames[0]
+            frames = pipeline.animate(
+                input_frames, frames[-overlap_length:],
+                overlaps=len(frames[-overlap_length:]),
+                strength=cfg.overlap_strength, seed=seed, epoch=state.epoch,
+            )
+            done_initial_gen = True
+        else:
+            frames = pipeline.animate(
+                input_frames, last_out, overlaps=overlaps,
+                strength=strength, seed=seed, epoch=state.epoch,
+            )
+
+        # color match against the previous anchor (vid2vid.py:216-220)
+        if state.last_output_frame is not None:
+            matched = match_colors(
+                jnp.asarray(frames, jnp.float32) / 255.0,
+                jnp.asarray(state.last_output_frame, jnp.float32) / 255.0,
+            )
+            frames = (np.asarray(matched) * 255.0 + 0.5).astype(np.uint8)
+
+        state.last_output_frame = frames[max(overlap_length - 1, -1)]
+        if overlap_length > 0:
+            state.last_output_frames = list(frames[-overlap_length:])
+
+        # blend head overlap slots with previous epoch versions (:225-227)
+        if overlaps:
+            prev = np.stack(state.overlap_frames)
+            blended = blend_overlap(
+                jnp.asarray(frames[:overlaps], jnp.float32), jnp.asarray(prev, jnp.float32)
+            )
+            frames = np.concatenate(
+                [np.asarray(blended, np.uint8).clip(0, 255), frames[overlaps:]]
+            ).astype(np.uint8)
+
+        if overlap_length > 0:
+            state.overlap_frames = list(frames[-overlap_length:])
+            state.overlap_input_frames = batch[-overlap_length:]
+
+        # emit all but the tail overlap; the tail is flushed after the loop
+        emit = len(frames) - len(state.overlap_frames)
+        for frame in frames[:emit]:
+            if upscaler is not None:
+                frame = upscaler(frame)
+            elif upscale > 1.0:
+                import cv2
+
+                frame = cv2.resize(frame, (out_w, out_h), interpolation=cv2.INTER_LANCZOS4)
+            frame_sink.write(frame)
+            frames_written += 1
+
+        if cfg.save_frames:
+            fdir = out_dir / "vid2vid_frames"
+            fdir.mkdir(exist_ok=True)
+            from PIL import Image
+
+            for i, frame in enumerate(frames[:emit]):
+                Image.fromarray(frame).save(fdir / f"{frames_written - emit + i + 1:04d}.png")
+
+        state.epoch += 1
+        windows_run += 1
+
+    # flush the pending tail overlap frames (generated, not yet emitted)
+    for frame in state.overlap_frames:
+        if upscaler is not None:
+            frame = upscaler(frame)
+        elif upscale > 1.0:
+            import cv2
+
+            frame = cv2.resize(frame, (out_w, out_h), interpolation=cv2.INTER_LANCZOS4)
+        frame_sink.write(frame)
+        frames_written += 1
+
+    if own_sink:
+        frame_sink.close()
+    if own_source and frame_source is not None:
+        frame_source.close()
+
+    # ---- finalize: audio mux + minterpolate (reference: vid2vid.py:275-287)
+    final_path = out_dir / "output.mp4"
+    if (
+        own_sink
+        and isinstance(frame_sink, media.FFMPEGFrameSink)
+        and media.ffmpeg_available(cfg.ffmpeg_path)
+    ):
+        media.video_to_high_fps(
+            str(final_path), str(raw_video_path),
+            cfg.input_video_path if has_input else None,
+            cfg.fps_ffmpeg, crf=cfg.crf, ffmpeg_path=cfg.ffmpeg_path,
+            start_time=cfg.start_time, end_time=cfg.end_time,
+        )
+    return {
+        "frames_written": frames_written,
+        "seed": seed,
+        "output": str(final_path if final_path.exists() else raw_video_path),
+        "windows": windows_run,
+    }

@@ -1,0 +1,129 @@
+"""Full-loop end-to-end test: orchestrator + facade + engine with tiny
+random models and in-memory frame IO (the reference has no equivalent — its
+only 'test' runs the real pipeline on real files, vid2vid.py:291-294)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from controlanimate_tpu.config import MotionModuleConfig, RunConfig
+from controlanimate_tpu.io.media import ArrayFrameSink, ArrayFrameSource
+from controlanimate_tpu.models.clip import CLIPTextConfig, CLIPTextModel
+from controlanimate_tpu.models.controlnet import ControlNetModel
+from controlanimate_tpu.models.tokenizer import CLIPTokenizer
+from controlanimate_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
+from controlanimate_tpu.models.vae import AutoencoderKL
+from controlanimate_tpu.pipelines.engine import EngineModels
+from controlanimate_tpu.pipelines.facade import ControlAnimatePipeline, TextStack
+from scripts.vid2vid import vid2vid
+
+D_CTX = 16
+
+
+def tiny_pipeline(cfg: RunConfig, with_controlnet=False) -> ControlAnimatePipeline:
+    key = jax.random.PRNGKey(0)
+    ucfg = UNet3DConfig(
+        block_out_channels=(8, 16),
+        layers_per_block=1,
+        down_block_types=("CrossAttnDownBlock3D", "DownBlock3D"),
+        up_block_types=("UpBlock3D", "CrossAttnUpBlock3D"),
+        attention_heads=2,
+        cross_attention_dim=D_CTX,
+        norm_num_groups=4,
+        motion=MotionModuleConfig(num_attention_heads=2, temporal_position_encoding_max_len=8),
+    )
+    unet = UNet3DConditionModel(ucfg)
+    unet_params = unet.init(
+        key, jnp.zeros((1, 2, 8, 8, 4)), jnp.asarray([1]), jnp.zeros((1, 7, D_CTX))
+    )["params"]
+    vae = AutoencoderKL(block_out_channels=(4, 8, 8, 8), groups=2)
+    vae_params = vae.init(key, jnp.zeros((1, 64, 64, 3)))["params"]
+
+    cns, cn_params = [], []
+    if with_controlnet:
+        cn_cfg = UNet3DConfig(**{**ucfg.__dict__, "use_motion_module": False})
+        cn = ControlNetModel(cn_cfg)
+        cns = [cn]
+        cn_params = [
+            cn.init(
+                key, jnp.zeros((1, 2, 8, 8, 4)), jnp.asarray([1]),
+                jnp.zeros((1, 7, D_CTX)), jnp.zeros((1, 2, 64, 64, 3)),
+            )["params"]
+        ]
+
+    models = EngineModels(
+        unet=unet, unet_params=unet_params, vae=vae, vae_params=vae_params,
+        controlnets=cns, controlnet_params=cn_params,
+        cond_scales=[1.0] * len(cns),
+    )
+
+    tok = CLIPTokenizer.tiny()
+    tcfg = CLIPTextConfig(
+        vocab_size=len(tok.vocab), hidden_size=D_CTX, num_layers=2, num_heads=2,
+        intermediate_size=32, eos_token_id=tok.eos_token_id,
+    )
+    tmodel = CLIPTextModel(tcfg)
+    tparams = tmodel.init(key, jnp.zeros((1, 77), jnp.int32))["params"]
+    text = TextStack(tok, tmodel, tparams)
+    return ControlAnimatePipeline(cfg, models=models, text_stack=text)
+
+
+def base_cfg(**kw) -> RunConfig:
+    defaults = dict(
+        width=64, height=64, frame_count=4, overlap_length=2,
+        steps=2, guidance_scale=1.0, scheduler="EulerDiscreteScheduler",
+        seed=7, prompt="a cat", n_prompt="blurry", strength=0.95,
+        overlap_strength=0.9, fps=8, save_frames=False,
+        output_video_dir="/tmp/ca_tpu_test_out",
+    )
+    defaults.update(kw)
+    return RunConfig(**defaults)
+
+
+def test_vid2vid_loop_writes_all_frames():
+    cfg = base_cfg()
+    pipe = tiny_pipeline(cfg)
+    frames_in = (np.random.RandomState(0).rand(10, 64, 64, 3) * 255).astype(np.uint8)
+    sink = ArrayFrameSink()
+    summary = vid2vid(
+        config=cfg, pipeline=pipe,
+        frame_source=ArrayFrameSource(frames_in), frame_sink=sink,
+    )
+    # 10 in -> 10 out (epochs emit len-2, final flush emits the tail 2)
+    assert summary["frames_written"] == 10
+    assert len(sink.frames) == 10
+    assert sink.frames[0].shape == (64, 64, 3)
+    # multiple windows ran with overlap chaining
+    assert summary["windows"] == 4
+
+
+def test_vid2vid_with_controlnet_canny():
+    cfg = base_cfg(controlnets=("lllyasviel/sd-controlnet-canny",), cond_scale=(1.0,))
+    pipe = tiny_pipeline(cfg, with_controlnet=True)
+    frames_in = (np.random.RandomState(1).rand(4, 64, 64, 3) * 255).astype(np.uint8)
+    sink = ArrayFrameSink()
+    summary = vid2vid(
+        config=cfg, pipeline=pipe,
+        frame_source=ArrayFrameSource(frames_in), frame_sink=sink,
+    )
+    assert summary["frames_written"] == 4
+
+
+def test_txt2vid_no_input():
+    cfg = base_cfg(overlap_length=0)
+    pipe = tiny_pipeline(cfg)
+    sink = ArrayFrameSink()
+    summary = vid2vid(config=cfg, pipeline=pipe, frame_sink=sink, max_windows=1)
+    assert summary["frames_written"] == 4
+
+
+def test_deterministic_given_seed():
+    cfg = base_cfg()
+    pipe = tiny_pipeline(cfg)
+    frames_in = (np.random.RandomState(2).rand(4, 64, 64, 3) * 255).astype(np.uint8)
+    s1, s2 = ArrayFrameSink(), ArrayFrameSink()
+    vid2vid(config=cfg, pipeline=pipe, frame_source=ArrayFrameSource(frames_in), frame_sink=s1)
+    vid2vid(config=cfg, pipeline=pipe, frame_source=ArrayFrameSource(frames_in), frame_sink=s2)
+    for a, b in zip(s1.frames, s2.frames):
+        np.testing.assert_array_equal(a, b)
