@@ -187,6 +187,12 @@ class RunConfig:
     # textual inversion
     textual_inversion_paths: tuple[str, ...] = ("models/TI/easynegative.safetensors",)
 
+    # job checkpoint/resume (new; the reference loses all progress on a
+    # mid-video crash — SURVEY §5.3/§5.4)
+    resume: bool = False
+    # profiling (new; reference has no tracing subsystem — SURVEY §5.1)
+    trace_dir: Optional[str] = None
+
     # tpu execution policy (new; no reference equivalent — the reference
     # hardcodes "cuda" + .half(), modules/controlanimate_pipeline.py:68,108-110)
     dtype: str = "bfloat16"

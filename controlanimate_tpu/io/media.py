@@ -233,6 +233,22 @@ class DirectoryFrameSink(FrameSink):
         Image.fromarray(np.asarray(frame, np.uint8)).save(self.dir / f"{self._i:04d}.png")
 
 
+def concat_videos(segments: list[str], output_path: str, ffmpeg_path: str = "ffmpeg") -> None:
+    """Losslessly concatenate same-codec segments (resume support)."""
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        for s in segments:
+            f.write(f"file '{Path(s).resolve()}'\n")
+        list_path = f.name
+    subprocess.run(
+        [ffmpeg_path, "-hide_banner", "-loglevel", "error", "-y",
+         "-f", "concat", "-safe", "0", "-i", list_path, "-c", "copy", output_path],
+        check=True,
+    )
+    os.unlink(list_path)
+
+
 def video_to_high_fps(
     output_path: str,
     video_path: str,

@@ -26,7 +26,10 @@ def set_pallas_enabled(flag: bool) -> None:
 
 def _on_tpu() -> bool:
     try:
-        return jax.default_backend() == "tpu"
+        # platform is "tpu" both for the native plugin and the axon tunnel
+        # (whose *backend* name is "axon")
+        d = jax.devices()[0]
+        return d.platform == "tpu" or "TPU" in getattr(d, "device_kind", "")
     except Exception:
         return False
 

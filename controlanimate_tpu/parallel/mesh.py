@@ -1,0 +1,74 @@
+"""Device mesh + sharding plan.
+
+The reference is single-process single-GPU (hardcoded "cuda",
+modules/controlanimate_pipeline.py:68; torch.distributed imported but never
+initialized, animatediff/utils/util.py:8,24-25). The TPU build scales via a
+named mesh from day one (SURVEY §5.8):
+
+  axes:  data    — windows / CFG batch (embarrassingly parallel)
+         context — the frame axis of the temporal window (sequence/context
+                   parallelism: temporal attention all-gathers K/V over
+                   <=32 frames, tiny over ICI)
+
+Single chip is the degenerate 1x1 mesh; multi-chip is a sharding change,
+not a code change. Model (tensor) parallelism for the UNet channel dims can
+be added as a third axis without restructuring (the sharding rules live
+here, not in the models).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    shape: Optional[Sequence[int]] = None,
+    axis_names: Sequence[str] = ("data", "context"),
+    devices=None,
+) -> Mesh:
+    """Build a mesh over available devices. Default: all devices on `data`."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if not shape:
+        shape = (n,) + (1,) * (len(axis_names) - 1)
+    if int(np.prod(shape)) != n:
+        raise ValueError(f"mesh shape {shape} does not cover {n} devices")
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, tuple(axis_names))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_video(mesh: Mesh) -> NamedSharding:
+    """(B, F, H, W, C): batch on data, frames on context."""
+    return NamedSharding(mesh, P("data", "context"))
+
+
+def shard_batch(mesh: Mesh) -> NamedSharding:
+    """(B, ...): batch on data only."""
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_params(mesh: Mesh, params):
+    """Parameters replicated across the mesh (SD1.5 fits per chip; a tensor-
+    parallel `model` axis can shard attention/mlp kernels later)."""
+    return jax.device_put(params, replicated(mesh))
+
+
+def shard_window_inputs(mesh: Mesh, text_embeds, cond_images, input_frames, last_output_frames):
+    """Place window inputs: batch-sharded embeds, video tensors on
+    data x context."""
+    sb, sv = shard_batch(mesh), shard_video(mesh)
+    place = lambda x, s: None if x is None else jax.device_put(x, s)
+    return (
+        place(text_embeds, sb),
+        tuple(place(c, sv) for c in cond_images),
+        place(input_frames, sv),
+        place(last_output_frames, sv),
+    )

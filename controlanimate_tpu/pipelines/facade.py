@@ -145,8 +145,10 @@ class ControlAnimatePipeline:
         if db_sds and db_sds["unet"]:
             unet_sd = db_sds["unet"]
 
-        # LoRA fusing (reference: util.py:143-156)
-        for lp, lw in zip(cfg.lora_model_paths, cfg.lora_weights or [1.0] * len(cfg.lora_model_paths)):
+        # LoRA fusing (reference: util.py:143-156; skipped under native LCM,
+        # controlanimate_pipeline.py:88-106)
+        lora_paths = () if cfg.use_lcm else cfg.lora_model_paths
+        for lp, lw in zip(lora_paths, cfg.lora_weights or [1.0] * len(lora_paths)):
             if not Path(lp).exists():
                 continue
             parts = split_lora_by_component(ingest.load_state_dict(lp))
@@ -157,8 +159,10 @@ class ControlAnimatePipeline:
                     te_sd, tcfg.num_layers, extra_embeddings=extra
                 )
 
+        # motion module loads in BOTH modes (reference loads it for LCM too,
+        # controlanimate_pipeline.py:100-106)
         motion_sd = None
-        if cfg.motion_module and Path(cfg.motion_module).exists() and not cfg.use_lcm:
+        if cfg.motion_module and Path(cfg.motion_module).exists():
             motion_sd = ingest.load_state_dict(cfg.motion_module)
             # motion-LoRA merge (reference: util.py:165-173)
             for mp, ma in zip(cfg.motion_lora_paths, cfg.motion_lora_alphas or [1.0] * len(cfg.motion_lora_paths)):
@@ -168,9 +172,11 @@ class ControlAnimatePipeline:
                     )
 
         ip_tokens = 4 if cfg.use_ipadapter else 0
+        # LCM uses the same inflated architecture + motion modules; only the
+        # base 2D weights come from the LCM snapshot (reference:
+        # controlanimate_pipeline.py:44-45 passes unet_additional_kwargs in
+        # both branches)
         ucfg = UNet3DConfig.from_arch(self.arch, unet_json, ip_tokens=ip_tokens)
-        if cfg.use_lcm:
-            ucfg = UNet3DConfig(**{**ucfg.__dict__, "use_motion_module": False})
         unet = UNet3DConditionModel(ucfg, dtype=self.dtype)
         init_params = self._init_unet_params(unet, ucfg)
         unet_params, missing = unet_params_from_torch(

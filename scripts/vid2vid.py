@@ -34,6 +34,45 @@ from controlanimate_tpu.config import RunConfig, StitchState
 from controlanimate_tpu.io import media
 from controlanimate_tpu.ops.blending import blend_overlap
 from controlanimate_tpu.ops.color_match import match_colors
+from controlanimate_tpu.utils.profiling import PhaseTimers, maybe_trace
+
+
+STATE_FILE = "stitch_state.npz"
+
+
+def _save_state(out_dir: Path, state: StitchState, consumed: int, frames_written: int,
+                segment: int) -> None:
+    """Epoch-granular job checkpoint (new capability; the reference loses all
+    progress on a mid-video crash — SURVEY §5.3/§5.4)."""
+    np.savez(
+        out_dir / STATE_FILE,
+        epoch=state.epoch,
+        seed=state.seed,
+        consumed=consumed,
+        frames_written=frames_written,
+        segment=segment,
+        overlap_frames=np.stack(state.overlap_frames) if state.overlap_frames else np.zeros((0,)),
+        overlap_input_frames=np.stack(state.overlap_input_frames) if state.overlap_input_frames else np.zeros((0,)),
+        last_output_frames=np.stack(state.last_output_frames) if state.last_output_frames else np.zeros((0,)),
+        last_output_frame=state.last_output_frame if state.last_output_frame is not None else np.zeros((0,)),
+    )
+
+
+def _load_state(out_dir: Path) -> tuple[StitchState, int, int, int] | None:
+    path = out_dir / STATE_FILE
+    if not path.exists():
+        return None
+    z = np.load(path)
+    state = StitchState(epoch=int(z["epoch"]), seed=int(z["seed"]))
+    if z["overlap_frames"].ndim == 4:
+        state.overlap_frames = list(z["overlap_frames"])
+    if z["overlap_input_frames"].ndim == 4:
+        state.overlap_input_frames = list(z["overlap_input_frames"])
+    if z["last_output_frames"].ndim == 4:
+        state.last_output_frames = list(z["last_output_frames"])
+    if z["last_output_frame"].ndim == 3:
+        state.last_output_frame = z["last_output_frame"]
+    return state, int(z["consumed"]), int(z["frames_written"]), int(z["segment"])
 
 
 def _round64(x: int) -> int:
@@ -64,6 +103,12 @@ def vid2vid(
     # ---- seed (reference: vid2vid.py:147-148) ----
     seed = cfg.seed if cfg.seed != -1 else int(np.random.randint(1, 2**16))
 
+    # ---- resume state ----
+    out_dir_early = Path(cfg.output_video_dir)
+    resumed = None
+    if cfg.resume:
+        resumed = _load_state(out_dir_early)
+
     # ---- IO ----
     own_source = frame_source is None
     if frame_source is None and has_input:
@@ -85,7 +130,8 @@ def vid2vid(
     out_dir.mkdir(parents=True, exist_ok=True)
     upscale = max(float(cfg.upscale), 1.0)
     out_w, out_h = int(width * upscale), int(height * upscale)
-    raw_video_path = out_dir / "output_raw.mp4"
+    segment = resumed[3] + 1 if resumed else 0
+    raw_video_path = out_dir / f"output_raw_{segment:03d}.mp4"
     own_sink = frame_sink is None
     if frame_sink is None:
         if media.ffmpeg_available(cfg.ffmpeg_path):
@@ -116,8 +162,19 @@ def vid2vid(
             upscaler = None  # no local RealESRGAN weights: emit raw frames
 
     # ---- epoch loop (reference: vid2vid.py:168-268) ----
-    state = StitchState(seed=seed)
-    frames_written = 0
+    timers = PhaseTimers()
+    consumed = 0
+    if resumed:
+        state, consumed, frames_written, _ = resumed
+        seed = state.seed
+        # skip already-consumed source frames (the overlap inputs live in
+        # the checkpoint, so the source resumes at the first unread frame)
+        for _ in range(consumed):
+            if frame_source is not None:
+                frame_source.read()
+    else:
+        state = StitchState(seed=seed)
+        frames_written = 0
     window = cfg.frame_count
     overlap_length = cfg.overlap_length
     done_initial_gen = not (cfg.use_ipadapter and cfg.do_initial_generation)
@@ -131,7 +188,10 @@ def vid2vid(
             if f is None:
                 break
             out.append(f)
+        nonlocal_consumed[0] += len(out)
         return out
+
+    nonlocal_consumed = [consumed]
 
     windows_run = 0
     while True:
@@ -155,27 +215,29 @@ def vid2vid(
             np.stack(state.last_output_frames) if state.last_output_frames else None
         )
 
-        if not done_initial_gen:
-            # IP-Adapter baseline double pass (reference: vid2vid.py:199-212)
-            frames = pipeline.animate(
-                input_frames, last_out, overlaps=overlaps,
-                strength=strength, seed=seed, epoch=state.epoch,
-            )
-            state.last_output_frame = frames[0]
-            frames = pipeline.animate(
-                input_frames, frames[-overlap_length:],
-                overlaps=len(frames[-overlap_length:]),
-                strength=cfg.overlap_strength, seed=seed, epoch=state.epoch,
-            )
-            done_initial_gen = True
-        else:
-            frames = pipeline.animate(
-                input_frames, last_out, overlaps=overlaps,
-                strength=strength, seed=seed, epoch=state.epoch,
-            )
+        with timers.phase("animate_window"):
+            if not done_initial_gen:
+                # IP-Adapter baseline double pass (reference: vid2vid.py:199-212)
+                frames = pipeline.animate(
+                    input_frames, last_out, overlaps=overlaps,
+                    strength=strength, seed=seed, epoch=state.epoch,
+                )
+                state.last_output_frame = frames[0]
+                frames = pipeline.animate(
+                    input_frames, frames[-overlap_length:],
+                    overlaps=len(frames[-overlap_length:]),
+                    strength=cfg.overlap_strength, seed=seed, epoch=state.epoch,
+                )
+                done_initial_gen = True
+            else:
+                frames = pipeline.animate(
+                    input_frames, last_out, overlaps=overlaps,
+                    strength=strength, seed=seed, epoch=state.epoch,
+                )
 
         # color match against the previous anchor (vid2vid.py:216-220)
         if state.last_output_frame is not None:
+          with timers.phase("color_match"):
             matched = match_colors(
                 jnp.asarray(frames, jnp.float32) / 255.0,
                 jnp.asarray(state.last_output_frame, jnp.float32) / 255.0,
@@ -222,6 +284,7 @@ def vid2vid(
 
         state.epoch += 1
         windows_run += 1
+        _save_state(out_dir, state, nonlocal_consumed[0], frames_written, segment)
 
     # flush the pending tail overlap frames (generated, not yet emitted)
     for frame in state.overlap_frames:
@@ -246,15 +309,22 @@ def vid2vid(
         and isinstance(frame_sink, media.FFMPEGFrameSink)
         and media.ffmpeg_available(cfg.ffmpeg_path)
     ):
+        segments = sorted(out_dir.glob("output_raw_*.mp4"))
+        src = raw_video_path
+        if len(segments) > 1:
+            src = out_dir / "output_raw_joined.mp4"
+            media.concat_videos([str(s) for s in segments], str(src), cfg.ffmpeg_path)
         media.video_to_high_fps(
-            str(final_path), str(raw_video_path),
+            str(final_path), str(src),
             cfg.input_video_path if has_input else None,
             cfg.fps_ffmpeg, crf=cfg.crf, ffmpeg_path=cfg.ffmpeg_path,
             start_time=cfg.start_time, end_time=cfg.end_time,
         )
+    timers.dump(out_dir / "phase_timers.json")
     return {
         "frames_written": frames_written,
         "seed": seed,
         "output": str(final_path if final_path.exists() else raw_video_path),
         "windows": windows_run,
+        "timers": timers.summary(),
     }

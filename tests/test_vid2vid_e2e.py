@@ -127,3 +127,31 @@ def test_deterministic_given_seed():
     vid2vid(config=cfg, pipeline=pipe, frame_source=ArrayFrameSource(frames_in), frame_sink=s2)
     for a, b in zip(s1.frames, s2.frames):
         np.testing.assert_array_equal(a, b)
+
+
+def test_resume_mid_video(tmp_path):
+    """Epoch-granular resume (new capability vs reference, SURVEY §5.3/§5.4):
+    interrupt after 2 windows, resume, and finish the stream."""
+    cfg = base_cfg(output_video_dir=str(tmp_path), resume=False)
+    pipe = tiny_pipeline(cfg)
+    frames_in = (np.random.RandomState(3).rand(10, 64, 64, 3) * 255).astype(np.uint8)
+
+    s1 = ArrayFrameSink()
+    partial = vid2vid(
+        config=cfg, pipeline=pipe,
+        frame_source=ArrayFrameSource(frames_in), frame_sink=s1, max_windows=2,
+    )
+    assert (tmp_path / "stitch_state.npz").exists()
+    # 2 windows: emitted 2+2, tail flush adds 2 more (interrupted mid-video
+    # still flushes its pending tail so the partial output is watchable)
+    assert partial["windows"] == 2
+
+    cfg2 = cfg.replace(resume=True)
+    s2 = ArrayFrameSink()
+    resumed = vid2vid(
+        config=cfg2, pipeline=pipe,
+        frame_source=ArrayFrameSource(frames_in), frame_sink=s2,
+    )
+    assert resumed["windows"] == 2  # the remaining 2 windows
+    # total unique frames across both runs covers the whole stream
+    assert partial["frames_written"] + len(s2.frames) >= 10
