@@ -1,0 +1,121 @@
+"""Annotator tests: canny numerics, dispatch, HED/lineart net structure
+(random weights; checkpoint-gated paths verified via synthetic state dicts)."""
+
+import numpy as np
+import pytest
+
+from controlanimate_tpu.models.annotators import annotate_frames, resolve_annotator
+
+
+def test_canny_matches_cv2():
+    import cv2
+
+    frames = (np.random.RandomState(0).rand(2, 32, 32, 3) * 255).astype(np.uint8)
+    out = annotate_frames("lllyasviel/sd-controlnet-canny", frames)
+    assert out.shape == (2, 32, 32, 3)
+    expected = cv2.Canny(frames[0], 100, 200).astype(np.float32) / 255.0
+    np.testing.assert_allclose(out[0, :, :, 0], expected)
+
+
+def test_dispatch_substrings():
+    assert resolve_annotator("lllyasviel/control_v11p_sd15_openpose")
+    assert resolve_annotator("lllyasviel/control_v11p_sd15s2_lineart_anime")
+    assert resolve_annotator("lllyasviel/control_v11p_sd15_softedge")
+    with pytest.raises(KeyError):
+        resolve_annotator("some/unknown_controlnet")
+
+
+def _fake_hed_sd():
+    rs = np.random.RandomState(0)
+    sd = {"norm": rs.randn(1, 3, 1, 1).astype(np.float32)}
+    blocks = {"block1": (3, 64, 2), "block2": (64, 128, 2), "block3": (128, 256, 3),
+              "block4": (256, 512, 3), "block5": (512, 512, 3)}
+    for name, (cin, cout, n) in blocks.items():
+        c = cin
+        for i in range(n):
+            sd[f"{name}.convs.{i}.weight"] = rs.randn(cout, c, 3, 3).astype(np.float32) * 0.01
+            sd[f"{name}.convs.{i}.bias"] = np.zeros(cout, np.float32)
+            c = cout
+        sd[f"{name}.projection.weight"] = rs.randn(1, cout, 1, 1).astype(np.float32) * 0.01
+        sd[f"{name}.projection.bias"] = np.zeros(1, np.float32)
+    return sd
+
+
+def test_hed_forward_with_synthetic_weights(tmp_path, monkeypatch):
+    import torch
+
+    torch.save({k: torch.from_numpy(v) for k, v in _fake_hed_sd().items()}, tmp_path / "ControlNetHED.pth")
+    from controlanimate_tpu.models.annotators import edge_nets
+
+    frames = (np.random.RandomState(1).rand(2, 64, 64, 3) * 255).astype(np.uint8)
+    out = edge_nets.run("hed", frames, tmp_path)
+    assert out.shape == (2, 64, 64, 3)
+    assert 0.0 <= out.min() and out.max() <= 1.0
+
+
+def _fake_lineart_sd():
+    rs = np.random.RandomState(1)
+
+    def conv(cout, cin, k):
+        return (rs.randn(cout, cin, k, k).astype(np.float32) * 0.02,
+                np.zeros(cout, np.float32))
+
+    sd = {}
+    for prefix, (cout, cin, k) in {
+        "model0.1": (64, 3, 7), "model1.0": (128, 64, 3), "model1.3": (256, 128, 3),
+        "model4.1": (1, 64, 7),
+    }.items():
+        w, b = conv(cout, cin, k)
+        sd[f"{prefix}.weight"], sd[f"{prefix}.bias"] = w, b
+    for i in range(3):
+        for j, layer in ((1, "conv1"), (5, "conv2")):
+            w, b = conv(256, 256, 3)
+            sd[f"model2.{i}.conv_block.{j}.weight"] = w
+            sd[f"model2.{i}.conv_block.{j}.bias"] = b
+    # ConvTranspose weights: (in, out, kh, kw)
+    sd["model3.0.weight"] = rs.randn(256, 128, 3, 3).astype(np.float32) * 0.02
+    sd["model3.0.bias"] = np.zeros(128, np.float32)
+    sd["model3.3.weight"] = rs.randn(128, 64, 3, 3).astype(np.float32) * 0.02
+    sd["model3.3.bias"] = np.zeros(64, np.float32)
+    return sd
+
+
+def test_lineart_forward_with_synthetic_weights(tmp_path):
+    import torch
+
+    torch.save({k: torch.from_numpy(v) for k, v in _fake_lineart_sd().items()}, tmp_path / "sk_model.pth")
+    from controlanimate_tpu.models.annotators import edge_nets
+
+    frames = (np.random.RandomState(2).rand(1, 64, 64, 3) * 255).astype(np.uint8)
+    out = edge_nets.run("lineart", frames, tmp_path)
+    assert out.shape == (1, 64, 64, 3)
+    assert 0.0 <= out.min() and out.max() <= 1.0
+
+
+def test_lineart_generator_matches_torch_convtranspose():
+    """The up-path uses ConvTranspose2d(stride 2, pad 1, output_padding 1);
+    verify the flax padding spec reproduces torch's geometry + numerics."""
+    import torch
+    import jax.numpy as jnp
+    from flax import linen as nn
+    from controlanimate_tpu.models.annotators.edge_nets import InstanceNorm  # noqa
+
+    rs = np.random.RandomState(3)
+    x = rs.randn(1, 8, 8, 4).astype(np.float32)
+    w = rs.randn(4, 2, 3, 3).astype(np.float32)  # torch: (in, out, kh, kw)
+    b = rs.randn(2).astype(np.float32)
+
+    tout = torch.nn.functional.conv_transpose2d(
+        torch.from_numpy(np.transpose(x, (0, 3, 1, 2))),
+        torch.from_numpy(w), torch.from_numpy(b),
+        stride=2, padding=1, output_padding=1,
+    ).numpy()
+
+    conv = nn.ConvTranspose(2, (3, 3), strides=(2, 2), padding=((1, 2), (1, 2)), transpose_kernel=True)
+    fout = conv.apply(
+        {"params": {"kernel": jnp.asarray(np.transpose(w, (2, 3, 1, 0))), "bias": jnp.asarray(b)}},
+        jnp.asarray(x),
+    )
+    np.testing.assert_allclose(
+        np.asarray(fout), np.transpose(tout, (0, 2, 3, 1)), atol=1e-4
+    )
