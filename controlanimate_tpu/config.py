@@ -144,7 +144,7 @@ class RunConfig:
     motion_module: Optional[str] = None
     motion_lora_paths: tuple[str, ...] = ()
     motion_lora_alphas: tuple[float, ...] = ()
-    lcm_model_path: str = "models/LCM_Dreamshaper_v7"
+    pretrained_lcm_model_path: str = "models/LCM_Dreamshaper_v7"
 
     # controlnets
     controlnets: tuple[str, ...] = ()

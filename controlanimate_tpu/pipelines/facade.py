@@ -97,7 +97,7 @@ class ControlAnimatePipeline:
     # ------------------------------------------------------------------ build
     def _build_from_disk(self):
         cfg = self.config
-        base = Path(cfg.lcm_model_path if cfg.use_lcm else cfg.pretrained_model_path)
+        base = Path(cfg.pretrained_lcm_model_path if cfg.use_lcm else cfg.pretrained_model_path)
         if not base.exists():
             raise FileNotFoundError(
                 f"model path {base} not found; pass models=/text_stack= for "

@@ -1,0 +1,98 @@
+"""One-session TPU performance sweep (the axon tunnel dislikes repeated
+short sessions, so all measurements batch into one process).
+
+Usage: python scripts/tpu_perf.py [attn] [unet] [vae] [window]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def timeit(name, fn, *args, iters=3):
+    t0 = time.time()
+    out = fn(*args)
+    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
+    # force real completion via host readback (tunnel's block_until_ready
+    # returns early)
+    float(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32).sum())
+    log(f"{name} compile+first: {time.time()-t0:.1f}s")
+    times = []
+    for i in range(iters):
+        t0 = time.time()
+        out = fn(*args)
+        float(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32).sum())
+        times.append(time.time() - t0)
+    best = min(times)
+    log(f"{name} best: {best*1000:.2f} ms")
+    return best
+
+
+def bench_attention():
+    from controlanimate_tpu.ops.flash_attention import flash_attention
+
+    for (B, N, H, D) in [(16, 4096, 8, 40), (16, 1024, 8, 80), (32, 4096, 8, 40)]:
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(ks[0], (B, N, H, D), jnp.bfloat16)
+        k = jax.random.normal(ks[1], (B, N, H, D), jnp.bfloat16)
+        v = jax.random.normal(ks[2], (B, N, H, D), jnp.bfloat16)
+        log(f"--- attention shape {(B, N, H, D)}")
+        xla = jax.jit(lambda q, k, v: jax.nn.dot_product_attention(q, k, v))
+        timeit("  xla_fused", xla, q, k, v)
+        pallas = jax.jit(lambda q, k, v: flash_attention(q, k, v))
+        timeit("  pallas_flash", pallas, q, k, v)
+
+
+def bench_unet():
+    import __graft_entry__
+
+    fn, args = __graft_entry__.entry()
+    f = jax.jit(fn)
+    best = timeit("unet3d fwd (CFG2 x 16f x 64x64lat)", f, *args, iters=5)
+    log(f"  => per frame-eval: {best/32*1000:.1f} ms")
+
+
+def bench_vae():
+    from controlanimate_tpu.models.vae import AutoencoderKL
+
+    vae = AutoencoderKL(dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(lambda k: vae.init(k, jnp.zeros((1, 64, 64, 3), jnp.bfloat16))["params"])(key)
+    z = jax.random.normal(key, (16, 64, 64, 4), jnp.bfloat16)
+    dec = jax.jit(lambda p, z: vae.apply({"params": p}, z, method=AutoencoderKL.decode))
+    timeit("vae decode 16f 512px", dec, params, z)
+    x = jax.random.normal(key, (16, 512, 512, 3), jnp.bfloat16)
+    enc = jax.jit(lambda p, x: vae.apply({"params": p}, x, method=AutoencoderKL.encode))
+    timeit("vae encode 16f 512px", enc, params, x)
+
+
+def bench_window():
+    """Full LCM window via bench.py main()."""
+    import bench
+
+    bench.main(iters=3)
+
+
+if __name__ == "__main__":
+    which = set(sys.argv[1:]) or {"attn", "unet", "vae"}
+    log(f"device: {jax.devices()[0]}")
+    if "attn" in which:
+        bench_attention()
+    if "unet" in which:
+        bench_unet()
+    if "vae" in which:
+        bench_vae()
+    if "window" in which:
+        bench_window()
+    log("DONE")
