@@ -51,6 +51,88 @@ class ImageProjModel(nn.Module):
         return nn.LayerNorm(name="norm")(x)
 
 
+class MLPProjModel(nn.Module):
+    """IP-Adapter-Full projection: GELU MLP + LayerNorm over pooled embeds
+    (reference: modules/ip_adapter.py:50-64)."""
+
+    cross_attention_dim: int = 768
+
+    @nn.compact
+    def __call__(self, image_embeds: jnp.ndarray) -> jnp.ndarray:
+        h = nn.Dense(image_embeds.shape[-1], name="proj_0")(image_embeds)
+        h = nn.gelu(h)
+        h = nn.Dense(self.cross_attention_dim, name="proj_2")(h)
+        h = nn.LayerNorm(name="norm")(h)
+        return h[:, None, :] if h.ndim == 2 else h
+
+
+class PerceiverAttention(nn.Module):
+    """Cross-attention where queries are learned latents and K/V span
+    [image tokens, latents] (reference: modules/resampler.py:34-78)."""
+
+    dim: int
+    dim_head: int = 64
+    heads: int = 16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, latents: jnp.ndarray) -> jnp.ndarray:
+        inner = self.dim_head * self.heads
+        x = nn.LayerNorm(name="norm1")(x)
+        latents = nn.LayerNorm(name="norm2")(latents)
+        B, L, _ = latents.shape
+        kv_input = jnp.concatenate([x, latents], axis=-2)
+        q = nn.Dense(inner, use_bias=False, name="to_q")(latents)
+        kv = nn.Dense(inner * 2, use_bias=False, name="to_kv")(kv_input)
+        k, v = jnp.split(kv, 2, axis=-1)
+        N = kv_input.shape[1]
+        q = q.reshape(B, L, self.heads, self.dim_head)
+        k = k.reshape(B, N, self.heads, self.dim_head)
+        v = v.reshape(B, N, self.heads, self.dim_head)
+        # reference scales q and k by sqrt(scale) each (resampler.py:64-66)
+        from ..ops.attention import reference_attention
+
+        out = reference_attention(q, k, v)
+        out = out.reshape(B, L, inner)
+        return nn.Dense(self.dim, use_bias=False, name="to_out")(out)
+
+
+class Resampler(nn.Module):
+    """Perceiver resampler for IP-Adapter-Plus
+    (reference: modules/resampler.py:81-147): learned query latents attend
+    to the CLIP penultimate hidden states over `depth` layers."""
+
+    dim: int = 1024
+    depth: int = 4
+    dim_head: int = 64
+    heads: int = 16
+    num_queries: int = 16
+    embedding_dim: int = 1280
+    output_dim: int = 768
+    ff_mult: int = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B = x.shape[0]
+        latents = self.param(
+            "latents",
+            lambda k, s: jax.random.normal(k, s) / (self.dim**0.5),
+            (1, self.num_queries, self.dim),
+        )
+        latents = jnp.broadcast_to(latents, (B, self.num_queries, self.dim))
+        x = nn.Dense(self.dim, name="proj_in")(x)
+        for i in range(self.depth):
+            latents = latents + PerceiverAttention(
+                self.dim, self.dim_head, self.heads, name=f"layers_{i}_attn"
+            )(x, latents)
+            h = nn.LayerNorm(name=f"layers_{i}_ff_norm")(latents)
+            h = nn.Dense(self.dim * self.ff_mult, use_bias=False, name=f"layers_{i}_ff_0")(h)
+            h = nn.gelu(h)
+            h = nn.Dense(self.dim, use_bias=False, name=f"layers_{i}_ff_2")(h)
+            latents = latents + h
+        out = nn.Dense(self.output_dim, name="proj_out")(latents)
+        return nn.LayerNorm(name="norm_out")(out)
+
+
 def preprocess_clip_image(frame: np.ndarray, size: int = 224) -> np.ndarray:
     """uint8 (H, W, 3) -> CLIP-normalized float (1, size, size, 3)."""
     import cv2
