@@ -110,22 +110,24 @@ class AnimationEngine:
         return make_scheduler(st.scheduler_name, self.schedule, st.steps, strength=st.strength)
 
     # -- VAE helpers ---------------------------------------------------------
-    def _encode_frames(self, frames: jnp.ndarray, key) -> jnp.ndarray:
+    def _encode_frames(self, vae_params, frames: jnp.ndarray, key) -> jnp.ndarray:
         """(B, F, H, W, 3) in [-1,1] -> (B, F, h, w, 4) scaled latents,
-        posterior-sampled (reference: prepare_latents :565-588)."""
+        posterior-sampled (reference: prepare_latents :565-588).
+
+        vae_params is an explicit argument: closing over it would bake the
+        weights into the HLO as constants (oversized compile payloads on
+        remote-compile TPU paths)."""
         B, F, H, W, C = frames.shape
         flat = frames.reshape(B * F, H, W, C)
-        z = self.m.vae.apply(
-            {"params": self.m.vae_params}, flat, key, method=AutoencoderKL.encode
-        )
+        z = self.m.vae.apply({"params": vae_params}, flat, key, method=AutoencoderKL.encode)
         return z.reshape(B, F, *z.shape[1:])
 
-    def _decode_latents(self, latents: jnp.ndarray) -> jnp.ndarray:
+    def _decode_latents(self, vae_params, latents: jnp.ndarray) -> jnp.ndarray:
         """(B, F, h, w, 4) -> (B, F, H, W, 3) in [0,1]
         (reference decode_latents :501-514, without the frame loop)."""
         B, F = latents.shape[:2]
         flat = latents.reshape(B * F, *latents.shape[2:])
-        img = self.m.vae.apply({"params": self.m.vae_params}, flat, method=AutoencoderKL.decode)
+        img = self.m.vae.apply({"params": vae_params}, flat, method=AutoencoderKL.decode)
         img = (img / 2 + 0.5).clip(0.0, 1.0)
         return img.reshape(B, F, *img.shape[1:])
 
@@ -134,6 +136,7 @@ class AnimationEngine:
         self,
         st: WindowStatic,
         sched: Scheduler,
+        vae_params,
         key,
         latent_shape: tuple[int, ...],
         input_frames: Optional[jnp.ndarray],
@@ -148,10 +151,12 @@ class AnimationEngine:
             return noise * sched.init_noise_sigma
 
         frames_latents = (
-            self._encode_frames(input_frames, k_in) if input_frames is not None else None
+            self._encode_frames(vae_params, input_frames, k_in)
+            if input_frames is not None
+            else None
         )
         last_latents = (
-            self._encode_frames(last_output_frames, k_out)
+            self._encode_frames(vae_params, last_output_frames, k_out)
             if last_output_frames is not None
             else None
         )
@@ -180,13 +185,40 @@ class AnimationEngine:
 
         return noise * sched.init_noise_sigma
 
-    # -- the jitted window program ------------------------------------------
-    def make_window_fn(self, st: WindowStatic) -> Callable:
-        """Build (and cache) the jitted end-to-end window function."""
-        if st in self._window_cache:
-            return self._window_cache[st]
+    # -- the jitted window programs -------------------------------------------
+    #
+    # The window is THREE jitted programs (prepare / denoise-scan / decode)
+    # rather than one monolith: the encode and decode programs are reused
+    # across window configs, and the per-program HLO stays within the size
+    # limits of remote-compile TPU paths (the single-program form exceeded
+    # the axon tunnel's compile-request cap).
+    def _make_prepare_fn(self, st: WindowStatic, sched) -> Callable:
+        key_ = ("prep", st)
+        if key_ in self._window_cache:
+            return self._window_cache[key_]
 
-        sched = self.build_scheduler(st)
+        def prepare(vae_params, input_frames, last_output_frames, latent_shape, key):
+            return self._prepare_latents(
+                st, sched, vae_params, key, latent_shape, input_frames, last_output_frames
+            )
+
+        fn = jax.jit(prepare, static_argnames=("latent_shape",))
+        self._window_cache[key_] = fn
+        return fn
+
+    def _make_decode_fn(self) -> Callable:
+        key_ = "decode"
+        if key_ in self._window_cache:
+            return self._window_cache[key_]
+        fn = jax.jit(self._decode_latents)
+        self._window_cache[key_] = fn
+        return fn
+
+    def _make_denoise_fn(self, st: WindowStatic, sched) -> Callable:
+        key_ = ("denoise", st)
+        if key_ in self._window_cache:
+            return self._window_cache[key_]
+
         ts = jnp.asarray(np.round(sched.timesteps).astype(np.int64))
         n_cn = len(self.m.controlnets)
 
@@ -195,25 +227,10 @@ class AnimationEngine:
             cn_params: tuple,
             text_embeds: jnp.ndarray,  # (2B, L, D) if cfg else (B, L, D)
             cond_images: tuple,  # per net (B, F, Hpx, Wpx, 3)
-            input_frames: Optional[jnp.ndarray],
-            last_output_frames: Optional[jnp.ndarray],
-            key,
+            latents: jnp.ndarray,
+            k_loop,
         ):
-            k_prep, k_loop = jax.random.split(key)
-            if st.do_cfg:
-                B = text_embeds.shape[0] // 2
-            else:
-                B = text_embeds.shape[0]
-            if input_frames is not None:
-                F, H, W = input_frames.shape[1:4]
-            else:
-                F, H, W = st.frame_count, st.height, st.width
-            h, w = H // 8, W // 8
-
-            latent_shape = (B, F, h, w, 4)
-            latents = self._prepare_latents(
-                st, sched, k_prep, latent_shape, input_frames, last_output_frames
-            )
+            B = latents.shape[0]
 
             # LCM guidance embedding (reference :768-771)
             w_emb = None
@@ -238,7 +255,7 @@ class AnimationEngine:
                 # controlresiduals :268-269)
                 cn_cond_images = tuple(jnp.concatenate([c, c]) for c in cond_images)
 
-            state0 = sched.init_state(latent_shape)
+            state0 = sched.init_state(latents.shape)
 
             def body(carry, i):
                 latents, state = carry
@@ -307,11 +324,41 @@ class AnimationEngine:
             (latents, _), _ = jax.lax.scan(
                 body, (latents, state0), jnp.arange(sched.num_steps)
             )
-            return self._decode_latents(latents)
+            return latents
 
         jitted = jax.jit(run)
-        self._window_cache[st] = jitted
+        self._window_cache[key_] = jitted
         return jitted
+
+    def make_window_fn(self, st: WindowStatic) -> Callable:
+        """Compose the three cached programs into the window function."""
+        key_ = ("window", st)
+        if key_ in self._window_cache:
+            return self._window_cache[key_]
+        sched = self.build_scheduler(st)
+        prepare = self._make_prepare_fn(st, sched)
+        denoise = self._make_denoise_fn(st, sched)
+        decode = self._make_decode_fn()
+
+        def run(unet_params, cn_params, text_embeds, cond_images,
+                input_frames, last_output_frames, key):
+            k_prep, k_loop = jax.random.split(key)
+            B = text_embeds.shape[0] // 2 if st.do_cfg else text_embeds.shape[0]
+            if input_frames is not None:
+                F, H, W = input_frames.shape[1:4]
+            else:
+                F, H, W = st.frame_count, st.height, st.width
+            latent_shape = (B, F, H // 8, W // 8, 4)
+            latents = prepare(
+                self.m.vae_params, input_frames, last_output_frames, latent_shape, k_prep
+            )
+            latents = denoise(
+                unet_params, cn_params, text_embeds, cond_images, latents, k_loop
+            )
+            return decode(self.m.vae_params, latents)
+
+        self._window_cache[key_] = run
+        return run
 
     def generate_window(
         self,
