@@ -1,0 +1,385 @@
+"""GFPGAN v1.3/v1.4 (clean architecture) face restorer in Flax.
+
+Capability parity with the reference's face enhancer
+(reference: modules/upscaler.py:53-61 — GFPGANer with GFPGANv1.3): a UNet
+degradation-removal encoder producing per-resolution SFT conditions + a
+StyleGAN2 (clean variant) decoder modulated by those conditions.
+
+Differences:
+  * channels-last, per-sample modulated convs via vmap instead of
+    grouped conv;
+  * face localization uses OpenCV's bundled Haar cascade instead of the
+    facexlib RetinaFace helper (no local RetinaFace weights exist in this
+    environment); full-frame restoration is the fallback.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..weights import ingest
+
+
+def lrelu(x):
+    return nn.leaky_relu(x, negative_slope=0.2)
+
+
+def _channels(narrow: float = 1.0, cm: int = 2) -> dict[int, int]:
+    return {
+        4: int(512 * narrow), 8: int(512 * narrow), 16: int(512 * narrow),
+        32: int(512 * narrow), 64: int(256 * cm * narrow), 128: int(128 * cm * narrow),
+        256: int(64 * cm * narrow), 512: int(32 * cm * narrow),
+    }
+
+
+class ResBlock(nn.Module):
+    """Clean-arch residual block with bilinear down/upsampling."""
+
+    out_channels: int
+    mode: str = "down"  # or "up"
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        out = lrelu(nn.Conv(in_ch, (3, 3), padding=1, name="conv1")(x))
+        B, H, W, C = out.shape
+        s = 0.5 if self.mode == "down" else 2.0
+        nh, nw = int(H * s), int(W * s)
+        out = jax.image.resize(out, (B, nh, nw, C), "bilinear")
+        out = lrelu(nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2")(out))
+        xr = jax.image.resize(x, (B, nh, nw, in_ch), "bilinear")
+        skip = nn.Conv(self.out_channels, (1, 1), use_bias=False, name="skip")(xr)
+        return out + skip
+
+
+class ModulatedConv(nn.Module):
+    """Style-modulated conv (clean variant: plain conv per sample via vmap)."""
+
+    out_channels: int
+    kernel: int
+    num_style_feat: int = 512
+    demodulate: bool = True
+    sample_mode: Optional[str] = None
+    eps: float = 1e-8
+
+    @nn.compact
+    def __call__(self, x, style):
+        B, H, W, C = x.shape
+        k = self.kernel
+        weight = self.param(
+            "weight",
+            lambda key, s: jax.random.normal(key, s) / math.sqrt(C * k * k),
+            (self.out_channels, C, k, k),
+        )
+        # torch initializes the modulation bias to 1 (checkpoints carry the
+        # trained value); mirror that at random init
+        mod = nn.Dense(C, bias_init=nn.initializers.ones, name="modulation")(style)
+        w = weight[None] * mod[:, None, :, None, None]  # (B, O, C, k, k)
+        if self.demodulate:
+            demod = jax.lax.rsqrt(jnp.sum(w**2, axis=(2, 3, 4)) + self.eps)
+            w = w * demod[:, :, None, None, None]
+
+        if self.sample_mode == "upsample":
+            x = jax.image.resize(x, (B, H * 2, W * 2, C), "bilinear")
+        elif self.sample_mode == "downsample":
+            x = jax.image.resize(x, (B, H // 2, W // 2, C), "bilinear")
+
+        w_hwio = jnp.transpose(w, (0, 3, 4, 2, 1))  # (B, k, k, C, O)
+
+        def conv_one(xi, wi):
+            return jax.lax.conv_general_dilated(
+                xi[None], wi, (1, 1), [(k // 2, k // 2)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )[0]
+
+        return jax.vmap(conv_one)(x, w_hwio)
+
+
+class StyleConv(nn.Module):
+    out_channels: int
+    kernel: int = 3
+    num_style_feat: int = 512
+    sample_mode: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, style, noise=None, key=None):
+        out = ModulatedConv(
+            self.out_channels, self.kernel, self.num_style_feat,
+            sample_mode=self.sample_mode, name="modulated_conv",
+        )(x, style)
+        nw = self.param("noise_weight", nn.initializers.zeros, ())
+        if noise is None and key is not None:
+            noise = jax.random.normal(key, (*out.shape[:3], 1), out.dtype)
+        if noise is not None:
+            out = out + nw * noise
+        bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        out = out + bias
+        return lrelu(out) * math.sqrt(2)
+
+
+class ToRGB(nn.Module):
+    num_style_feat: int = 512
+
+    @nn.compact
+    def __call__(self, x, style, skip=None):
+        out = ModulatedConv(3, 1, self.num_style_feat, demodulate=False,
+                            name="modulated_conv")(x, style)
+        bias = self.param("bias", nn.initializers.zeros, (3,))
+        out = out + bias
+        if skip is not None:
+            B, H, W, C = skip.shape
+            skip = jax.image.resize(skip, (B, H * 2, W * 2, C), "bilinear")
+            out = out + skip
+        return out
+
+
+class StyleGAN2GeneratorCSFT(nn.Module):
+    """Clean StyleGAN2 decoder with spatial-feature-transform conditioning."""
+
+    out_size: int = 512
+    num_style_feat: int = 512
+    num_mlp: int = 8
+    channel_multiplier: int = 2
+    narrow: float = 1.0
+    sft_half: bool = True
+
+    @nn.compact
+    def __call__(self, latent: jnp.ndarray, conditions: Sequence[jnp.ndarray], key=None):
+        """latent: (B, num_latent, style_feat) pre-expanded style codes
+        (input_is_latent + different_w path of the reference usage).
+        conditions: [scale0, shift0, scale1, shift1, ...] per resolution."""
+        ch = _channels(self.narrow, self.channel_multiplier)
+        log_size = int(math.log2(self.out_size))
+        B = latent.shape[0]
+
+        const = self.param(
+            "constant_input", nn.initializers.normal(1.0), (1, 4, 4, ch[4])
+        )
+        out = jnp.broadcast_to(const, (B, 4, 4, ch[4]))
+        k = jax.random.PRNGKey(0) if key is None else key
+
+        out = StyleConv(ch[4], 3, self.num_style_feat, name="style_conv1")(
+            out, latent[:, 0], key=jax.random.fold_in(k, 0)
+        )
+        skip = ToRGB(self.num_style_feat, name="to_rgb1")(out, latent[:, 1])
+
+        i = 1
+        conv_idx = 0
+        for res_log in range(3, log_size + 1):
+            res_ch = ch[2**res_log]
+            out = StyleConv(
+                res_ch, 3, self.num_style_feat, sample_mode="upsample",
+                name=f"style_convs_{conv_idx}",
+            )(out, latent[:, i], key=jax.random.fold_in(k, conv_idx + 1))
+            # SFT modulation (reference: gfpgan CSFT forward)
+            ci = (res_log - 3) * 2
+            if ci + 1 < len(conditions) + 0 and ci < len(conditions):
+                scale, shift = conditions[ci], conditions[ci + 1]
+                if self.sft_half:
+                    half = out.shape[-1] // 2
+                    same, sft = out[..., :half], out[..., half:]
+                    sft = sft * scale + shift
+                    out = jnp.concatenate([same, sft], axis=-1)
+                else:
+                    out = out * scale + shift
+            out = StyleConv(
+                res_ch, 3, self.num_style_feat, name=f"style_convs_{conv_idx+1}",
+            )(out, latent[:, i + 1], key=jax.random.fold_in(k, 1000 + conv_idx))
+            skip = ToRGB(self.num_style_feat, name=f"to_rgbs_{conv_idx//2}")(
+                out, latent[:, i + 2], skip
+            )
+            conv_idx += 2
+            i += 2
+        return skip
+
+
+class GFPGANv1Clean(nn.Module):
+    out_size: int = 512
+    num_style_feat: int = 512
+    channel_multiplier: int = 2
+    narrow: float = 1.0
+    sft_half: bool = True
+    num_mlp: int = 8
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, key=None):
+        """x: (B, 512, 512, 3) in [-1, 1] -> restored (B, 512, 512, 3)."""
+        ch = _channels(self.narrow, self.channel_multiplier)
+        log_size = int(math.log2(self.out_size))
+        B = x.shape[0]
+
+        feat = lrelu(nn.Conv(ch[512], (1, 1), name="conv_body_first")(x))
+        skips = []
+        res = self.out_size
+        for i in range(log_size - 2):
+            feat = ResBlock(ch[res // 2], mode="down", name=f"conv_body_down_{i}")(feat)
+            skips.insert(0, feat)
+            res //= 2
+        feat = lrelu(nn.Conv(ch[4], (3, 3), padding=1, name="final_conv")(feat))
+
+        num_latent = log_size * 2 - 2  # 16 for 512
+        style_code = nn.Dense(num_latent * self.num_style_feat, name="final_linear")(
+            feat.reshape(B, -1)
+        )
+        latent = style_code.reshape(B, num_latent, self.num_style_feat)
+
+        conditions = []
+        for i in range(log_size - 2):
+            feat = feat + skips[i]
+            res_log = i + 3
+            out_ch = ch[2**res_log]
+            feat = ResBlock(out_ch, mode="up", name=f"conv_body_up_{i}")(feat)
+            sft_out = out_ch // 2 if self.sft_half else out_ch
+            s = nn.Conv(out_ch, (3, 3), padding=1, name=f"condition_scale_{i}_0")(feat)
+            s = nn.Conv(sft_out, (3, 3), padding=1, name=f"condition_scale_{i}_2")(lrelu(s))
+            t = nn.Conv(out_ch, (3, 3), padding=1, name=f"condition_shift_{i}_0")(feat)
+            t = nn.Conv(sft_out, (3, 3), padding=1, name=f"condition_shift_{i}_2")(lrelu(t))
+            conditions.extend([s, t])
+
+        image = StyleGAN2GeneratorCSFT(
+            self.out_size, self.num_style_feat, self.num_mlp,
+            self.channel_multiplier, self.narrow, self.sft_half,
+            name="stylegan_decoder",
+        )(latent, conditions, key=key)
+        return image
+
+
+# ------------------------------------------------------------ weight mapping
+def gfpgan_params_from_torch(sd: dict[str, np.ndarray], out_size: int = 512) -> dict:
+    """GFPGANv1.3/1.4 clean checkpoint ('params_ema') -> flax params.
+
+    The torch `different_w` path runs style codes through the decoder's
+    style MLP implicitly at train time; at inference with input_is_latent
+    the MLP is bypassed, so style-MLP weights are not needed here."""
+    if any(k.startswith("params_ema.") for k in sd):
+        sd = {k[len("params_ema."):]: v for k, v in sd.items() if k.startswith("params_ema.")}
+
+    log_size = int(math.log2(out_size))
+
+    def conv(t):
+        return {"kernel": ingest.conv_kernel(sd[f"{t}.weight"]), "bias": sd[f"{t}.bias"]}
+
+    def conv_nobias(t):
+        return {"kernel": ingest.conv_kernel(sd[f"{t}.weight"])}
+
+    def resblock(t):
+        return {"conv1": conv(f"{t}.conv1"), "conv2": conv(f"{t}.conv2"),
+                "skip": conv_nobias(f"{t}.skip")}
+
+    def modconv(t):
+        w = np.asarray(sd[f"{t}.weight"])  # (1, O, C, k, k) or (O, C, k, k)
+        if w.ndim == 5:
+            w = w[0]
+        return {
+            "weight": w,
+            "modulation": {
+                "kernel": ingest.dense_kernel(sd[f"{t}.modulation.weight"]),
+                "bias": sd[f"{t}.modulation.bias"],
+            },
+        }
+
+    def styleconv(t):
+        return {
+            "modulated_conv": modconv(f"{t}.modulated_conv"),
+            "noise_weight": np.asarray(sd[f"{t}.weight"]).reshape(()),
+            "bias": np.asarray(sd[f"{t}.bias"]).reshape(-1),
+        }
+
+    def torgb(t):
+        return {
+            "modulated_conv": modconv(f"{t}.modulated_conv"),
+            "bias": np.asarray(sd[f"{t}.bias"]).reshape(-1),
+        }
+
+    params: dict = {
+        "conv_body_first": conv("conv_body_first"),
+        "final_conv": conv("final_conv"),
+        "final_linear": {
+            "kernel": ingest.dense_kernel(sd["final_linear.weight"]),
+            "bias": sd["final_linear.bias"],
+        },
+    }
+    for i in range(log_size - 2):
+        params[f"conv_body_down_{i}"] = resblock(f"conv_body_down.{i}")
+        params[f"conv_body_up_{i}"] = resblock(f"conv_body_up.{i}")
+        params[f"condition_scale_{i}_0"] = conv(f"condition_scale.{i}.0")
+        params[f"condition_scale_{i}_2"] = conv(f"condition_scale.{i}.2")
+        params[f"condition_shift_{i}_0"] = conv(f"condition_shift.{i}.0")
+        params[f"condition_shift_{i}_2"] = conv(f"condition_shift.{i}.2")
+
+    dec: dict = {
+        "constant_input": np.transpose(sd["stylegan_decoder.constant_input.weight"], (0, 2, 3, 1)),
+        "style_conv1": styleconv("stylegan_decoder.style_conv1"),
+        "to_rgb1": torgb("stylegan_decoder.to_rgb1"),
+    }
+    n_styleconvs = (log_size - 2) * 2
+    for i in range(n_styleconvs):
+        dec[f"style_convs_{i}"] = styleconv(f"stylegan_decoder.style_convs.{i}")
+    for i in range(n_styleconvs // 2):
+        dec[f"to_rgbs_{i}"] = torgb(f"stylegan_decoder.to_rgbs.{i}")
+    params["stylegan_decoder"] = dec
+    return params
+
+
+# ----------------------------------------------------------------- enhancer
+class FaceEnhancer:
+    """Whole-frame / per-face restoration facade
+    (reference: GFPGANer usage in modules/upscaler.py:53-74)."""
+
+    def __init__(self, model_path: Optional[str] = None):
+        path = Path(model_path or "models/Upscalers/GFPGANv1.3.pth")
+        if not path.exists():
+            raise FileNotFoundError(f"GFPGAN weights not found at {path}")
+        self.model = GFPGANv1Clean()
+        self.params = gfpgan_params_from_torch(ingest.load_state_dict(path))
+        self._jit = jax.jit(lambda p, x: self.model.apply({"params": p}, x))
+        import cv2
+
+        cascade = Path(cv2.data.haarcascades) / "haarcascade_frontalface_default.xml"
+        self._detector = cv2.CascadeClassifier(str(cascade)) if cascade.exists() else None
+
+    def _restore512(self, crop: np.ndarray) -> np.ndarray:
+        import cv2
+
+        x = cv2.resize(crop, (512, 512), interpolation=cv2.INTER_LINEAR)
+        x = jnp.asarray(x, jnp.float32)[None] / 127.5 - 1.0
+        y = np.asarray(self._jit(self.params, x))[0]
+        y = ((y.clip(-1, 1) + 1) * 127.5 + 0.5).astype(np.uint8)
+        return cv2.resize(y, (crop.shape[1], crop.shape[0]), interpolation=cv2.INTER_LINEAR)
+
+    def __call__(self, frame: np.ndarray) -> np.ndarray:
+        import cv2
+
+        frame = np.asarray(frame, np.uint8)
+        faces = []
+        if self._detector is not None:
+            gray = cv2.cvtColor(frame, cv2.COLOR_RGB2GRAY)
+            faces = self._detector.detectMultiScale(gray, 1.2, 5, minSize=(48, 48))
+        if len(faces) == 0:
+            return self._restore512(frame)
+        out = frame.copy()
+        H, W = frame.shape[:2]
+        for (x, y, w, h) in faces:
+            # square crop with margin, clipped to the frame
+            m = int(0.4 * max(w, h))
+            x0, y0 = max(x - m, 0), max(y - m, 0)
+            x1, y1 = min(x + w + m, W), min(y + h + m, H)
+            crop = frame[y0:y1, x0:x1]
+            restored = self._restore512(crop)
+            # feathered paste-back
+            mask = np.ones(crop.shape[:2], np.float32)
+            fe = max(min(crop.shape[0], crop.shape[1]) // 8, 1)
+            mask[:fe] *= np.linspace(0, 1, fe)[:, None]
+            mask[-fe:] *= np.linspace(1, 0, fe)[:, None]
+            mask[:, :fe] *= np.linspace(0, 1, fe)[None, :]
+            mask[:, -fe:] *= np.linspace(1, 0, fe)[None, :]
+            blended = restored * mask[..., None] + crop * (1 - mask[..., None])
+            out[y0:y1, x0:x1] = blended.astype(np.uint8)
+        return out
