@@ -21,10 +21,22 @@ ANNOTATOR_DIR = Path(os.environ.get("CONTROLANIMATE_ANNOTATOR_DIR", "models/anno
 
 
 def run(name: str, frames: np.ndarray) -> np.ndarray:
-    if name in ("hed", "lineart", "lineart_anime", "softedge"):
+    if name in ("hed", "lineart", "softedge"):
         from . import edge_nets
 
         return edge_nets.run(name, frames, ANNOTATOR_DIR)
+    if name == "lineart_anime":
+        from . import lineart_anime
+
+        return lineart_anime.run(frames, ANNOTATOR_DIR)
+    if name == "depth":
+        from . import depth
+
+        return depth.run(frames)
+    if name == "mlsd":
+        from . import mlsd
+
+        return mlsd.run(frames, ANNOTATOR_DIR)
     raise NotImplementedError(
         f"annotator {name!r}: checkpoint-backed Flax port pending; place "
         f"weights under {ANNOTATOR_DIR} (reference uses controlnet_aux's "

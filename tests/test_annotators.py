@@ -119,3 +119,44 @@ def test_lineart_generator_matches_torch_convtranspose():
     np.testing.assert_allclose(
         np.asarray(fout), np.transpose(tout, (0, 2, 3, 1)), atol=1e-4
     )
+
+
+def test_lineart_anime_unet_generator(tmp_path):
+    """UnetGenerator(3,1,8,64) port: synthetic torch ckpt -> forward."""
+    import torch
+    from controlanimate_tpu.models.annotators import lineart_anime as la
+
+    rs = np.random.RandomState(0)
+    sd = {}
+    prefixes = la._torch_prefixes(8)
+    ladder = la._ladder(64, 8)
+    in_ch = 3
+    for level, p in enumerate(prefixes):
+        outer, inner = ladder[level]
+        outermost = level == 0
+        innermost = level == len(prefixes) - 1
+        down_idx = 0 if outermost else 1
+        up_idx = 3 if (outermost or innermost) else 5
+        d_in = in_ch if outermost else ladder[level - 1][1]
+        sd[f"{p}.{down_idx}.weight"] = rs.randn(inner, d_in, 4, 4).astype(np.float32) * 0.02
+        sd[f"{p}.{down_idx}.bias"] = np.zeros(inner, np.float32)
+        u_in = inner if innermost else inner * 2
+        sd[f"{p}.{up_idx}.weight"] = rs.randn(u_in, outer, 4, 4).astype(np.float32) * 0.02
+        sd[f"{p}.{up_idx}.bias"] = np.zeros(outer, np.float32)
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, tmp_path / "netG.pth")
+
+    frames = (np.random.RandomState(1).rand(1, 64, 64, 3) * 255).astype(np.uint8)
+    out = la.run(frames, tmp_path)
+    assert out.shape == (1, 64, 64, 3)
+    assert 0.0 <= out.min() and out.max() <= 1.0
+
+
+def test_mlsd_hough_fallback(tmp_path):
+    from controlanimate_tpu.models.annotators import mlsd
+
+    # frame with a strong straight edge
+    f = np.zeros((64, 64, 3), np.uint8)
+    f[:, 32:] = 255
+    out = mlsd.run(np.stack([f]), tmp_path)
+    assert out.shape == (1, 64, 64, 3)
+    assert out.max() == 1.0  # the vertical line was drawn
