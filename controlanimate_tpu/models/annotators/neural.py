@@ -37,6 +37,10 @@ def run(name: str, frames: np.ndarray) -> np.ndarray:
         from . import mlsd
 
         return mlsd.run(frames, ANNOTATOR_DIR)
+    if name == "openpose":
+        from . import openpose
+
+        return openpose.run(frames, ANNOTATOR_DIR)
     raise NotImplementedError(
         f"annotator {name!r}: checkpoint-backed Flax port pending; place "
         f"weights under {ANNOTATOR_DIR} (reference uses controlnet_aux's "

@@ -160,3 +160,52 @@ def test_mlsd_hough_fallback(tmp_path):
     out = mlsd.run(np.stack([f]), tmp_path)
     assert out.shape == (1, 64, 64, 3)
     assert out.max() == 1.0  # the vertical line was drawn
+
+
+def _fake_openpose_sd():
+    """Synthetic body_pose_model.pth with the exact torch key grammar."""
+    from controlanimate_tpu.models.annotators.openpose import _BLOCK0
+
+    rs = np.random.RandomState(0)
+    sd = {}
+    in_ch = 3
+    for name, cin, cout, k in _BLOCK0:
+        if name.startswith("pool"):
+            continue
+        sd[f"model0.{name}.weight"] = rs.randn(cout, in_ch, k, k).astype(np.float32) * 0.02
+        sd[f"model0.{name}.bias"] = np.zeros(cout, np.float32)
+        in_ch = cout
+    for branch, out_ch in ((1, 38), (2, 19)):
+        cin = 128
+        for i in range(1, 4):
+            sd[f"model1_{branch}.conv5_{i}_CPM_L{branch}.weight"] = rs.randn(128, cin, 3, 3).astype(np.float32) * 0.02
+            sd[f"model1_{branch}.conv5_{i}_CPM_L{branch}.bias"] = np.zeros(128, np.float32)
+            cin = 128
+        sd[f"model1_{branch}.conv5_4_CPM_L{branch}.weight"] = rs.randn(512, 128, 1, 1).astype(np.float32) * 0.02
+        sd[f"model1_{branch}.conv5_4_CPM_L{branch}.bias"] = np.zeros(512, np.float32)
+        sd[f"model1_{branch}.conv5_5_CPM_L{branch}.weight"] = rs.randn(out_ch, 512, 1, 1).astype(np.float32) * 0.02
+        sd[f"model1_{branch}.conv5_5_CPM_L{branch}.bias"] = np.zeros(out_ch, np.float32)
+    for stage in range(2, 7):
+        for branch, out_ch in ((1, 38), (2, 19)):
+            cin = 185
+            for i in range(1, 6):
+                sd[f"model{stage}_{branch}.Mconv{i}_stage{stage}_L{branch}.weight"] = rs.randn(128, cin, 7, 7).astype(np.float32) * 0.01
+                sd[f"model{stage}_{branch}.Mconv{i}_stage{stage}_L{branch}.bias"] = np.zeros(128, np.float32)
+                cin = 128
+            sd[f"model{stage}_{branch}.Mconv6_stage{stage}_L{branch}.weight"] = rs.randn(128, 128, 1, 1).astype(np.float32) * 0.01
+            sd[f"model{stage}_{branch}.Mconv6_stage{stage}_L{branch}.bias"] = np.zeros(128, np.float32)
+            sd[f"model{stage}_{branch}.Mconv7_stage{stage}_L{branch}.weight"] = rs.randn(out_ch, 128, 1, 1).astype(np.float32) * 0.01
+            sd[f"model{stage}_{branch}.Mconv7_stage{stage}_L{branch}.bias"] = np.zeros(out_ch, np.float32)
+    return sd
+
+
+def test_openpose_forward_and_decode(tmp_path):
+    import torch
+    from controlanimate_tpu.models.annotators import openpose
+
+    torch.save({k: torch.from_numpy(v) for k, v in _fake_openpose_sd().items()},
+               tmp_path / "body_pose_model.pth")
+    frames = (np.random.RandomState(1).rand(1, 96, 96, 3) * 255).astype(np.uint8)
+    out = openpose.run(frames, tmp_path)
+    assert out.shape == (1, 96, 96, 3)
+    assert 0.0 <= out.min() and out.max() <= 1.0
