@@ -21,7 +21,16 @@ ANNOTATOR_DIR = Path(os.environ.get("CONTROLANIMATE_ANNOTATOR_DIR", "models/anno
 
 
 def run(name: str, frames: np.ndarray) -> np.ndarray:
-    if name in ("hed", "lineart", "softedge"):
+    if name == "softedge":
+        from . import pidinet
+
+        try:
+            return pidinet.run(frames, ANNOTATOR_DIR)
+        except FileNotFoundError:
+            from . import edge_nets  # HED fallback when pidinet weights absent
+
+            return edge_nets.run("hed", frames, ANNOTATOR_DIR)
+    if name in ("hed", "lineart"):
         from . import edge_nets
 
         return edge_nets.run(name, frames, ANNOTATOR_DIR)
@@ -41,6 +50,10 @@ def run(name: str, frames: np.ndarray) -> np.ndarray:
         from . import openpose
 
         return openpose.run(frames, ANNOTATOR_DIR)
+    if name == "normalbae":
+        from . import normalbae
+
+        return normalbae.run(frames)
     raise NotImplementedError(
         f"annotator {name!r}: checkpoint-backed Flax port pending; place "
         f"weights under {ANNOTATOR_DIR} (reference uses controlnet_aux's "

@@ -209,3 +209,69 @@ def test_openpose_forward_and_decode(tmp_path):
     out = openpose.run(frames, tmp_path)
     assert out.shape == (1, 96, 96, 3)
     assert 0.0 <= out.min() and out.max() <= 1.0
+
+
+def test_normalbae_fallback():
+    from controlanimate_tpu.models.annotators import normalbae
+
+    frames = (np.random.RandomState(2).rand(2, 32, 32, 3) * 255).astype(np.uint8)
+    out = normalbae.run(frames)
+    assert out.shape == (2, 32, 32, 3)
+    assert 0.0 <= out.min() and out.max() <= 1.0
+
+
+def test_pdc_difference_convs_vanish_on_constants():
+    """Defining property of difference convolutions: cd/ad/rd respond with
+    exactly zero to constant inputs (cv does not)."""
+    import jax, jax.numpy as jnp
+    from controlanimate_tpu.models.annotators.pidinet import PDCConv
+
+    x = jnp.ones((1, 8, 8, 6)) * 0.37
+    for kind, expect_zero in (("cd", True), ("ad", True), ("rd", True), ("cv", False)):
+        m = PDCConv(kind, 6, depthwise=True)
+        p = m.init(jax.random.PRNGKey(0), x)["params"]
+        y = np.asarray(m.apply({"params": p}, x))
+        inner = y[:, 3:5, 3:5, :]  # away from padding
+        if expect_zero:
+            np.testing.assert_allclose(inner, 0.0, atol=1e-5, err_msg=kind)
+        else:
+            assert np.abs(inner).max() > 1e-3
+
+
+def test_pidinet_forward_with_synthetic_weights(tmp_path):
+    import torch
+    import jax, jax.numpy as jnp
+    from controlanimate_tpu.models.annotators import pidinet as pn
+
+    # derive a synthetic torch sd from the flax tree shapes
+    model = pn.PiDiNet()
+    x = jnp.zeros((1, 64, 64, 3))
+    ref = model.init(jax.random.PRNGKey(0), x)["params"]
+    rs = np.random.RandomState(0)
+    sd = {}
+
+    def walk(tree, fpath=""):
+        for k in sorted(tree):
+            p = f"{fpath}/{k}" if fpath else k
+            if isinstance(tree[k], dict):
+                walk(tree[k], p)
+            else:
+                arr = np.asarray(tree[k])
+                t = p.replace("/", ".")
+                for i in range(4):
+                    t = t.replace(f"dilations_{i}.", f"dilations.{i}.")
+                    t = t.replace(f"attentions_{i}.", f"attentions.{i}.")
+                    t = t.replace(f"conv_reduces_{i}.", f"conv_reduces.{i}.conv.")
+                if t.endswith(".kernel"):
+                    t = t[: -len(".kernel")] + ".weight"
+                    sd[t] = rs.randn(*np.transpose(arr, (3, 2, 0, 1)).shape).astype(np.float32) * 0.05
+                else:
+                    sd[t] = rs.randn(*arr.shape).astype(np.float32) * 0.01
+
+    walk(ref)
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, tmp_path / "table5_pidinet.pth")
+
+    frames = (np.random.RandomState(1).rand(1, 64, 64, 3) * 255).astype(np.uint8)
+    out = pn.run(frames, tmp_path)
+    assert out.shape == (1, 64, 64, 3)
+    assert 0.0 <= out.min() and out.max() <= 1.0
