@@ -86,14 +86,23 @@ class GroupNorm(nn.Module):
         assert C % G == 0, f"channels {C} not divisible by groups {G}"
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
-        xf = x.astype(jnp.float32)
-        N = xf.shape[0]
-        grouped = xf.reshape(N, -1, G, C // G)
-        mean = grouped.mean(axis=(1, 3), keepdims=True)
-        var = grouped.var(axis=(1, 3), keepdims=True)
-        normed = (grouped - mean) * jax.lax.rsqrt(var + self.epsilon)
-        y = normed.reshape(xf.shape) * scale + bias
-        return y.astype(orig_dtype)
+        N = x.shape[0]
+        grouped = x.reshape(N, -1, G, C // G)
+        # statistics accumulate in fp32 (fused reductions — no fp32 copy of
+        # the activation is materialized); normalization applies in the
+        # input dtype, matching the reference's fp16 .half() execution
+        # (modules/controlanimate_pipeline.py:108-110)
+        mean = jnp.mean(grouped, axis=(1, 3), keepdims=True, dtype=jnp.float32)
+        mean2 = jnp.mean(
+            jnp.square(grouped.astype(jnp.float32)), axis=(1, 3), keepdims=True,
+            dtype=jnp.float32,
+        )
+        var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        w = (scale.reshape(G, C // G) * inv).astype(orig_dtype)
+        b = (bias.reshape(G, C // G) - (mean * inv) * scale.reshape(G, C // G)).astype(orig_dtype)
+        y = grouped * w + b
+        return y.reshape(x.shape)
 
 
 class Attention(nn.Module):

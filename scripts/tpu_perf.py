@@ -84,6 +84,50 @@ def bench_window():
     bench.main(iters=3)
 
 
+def bench_ablate():
+    """UNet component ablations: where do the 600ms go?"""
+    from controlanimate_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
+
+    key = jax.random.PRNGKey(0)
+    B, F, h, w = 2, 16, 64, 64
+    sample = jax.random.normal(key, (B, F, h, w, 4), jnp.bfloat16)
+    t = jnp.asarray([500, 500])
+    ctx = jax.random.normal(key, (B, 77, 768), jnp.bfloat16)
+
+    variants = {
+        "full": UNet3DConfig(),
+        "no_motion": UNet3DConfig(use_motion_module=False),
+        "conv_only": UNet3DConfig(
+            use_motion_module=False,
+            down_block_types=("DownBlock3D",) * 4,
+            up_block_types=("UpBlock3D",) * 4,
+        ),
+    }
+    for name, cfg in variants.items():
+        model = UNet3DConditionModel(cfg, dtype=jnp.bfloat16)
+        params = jax.jit(
+            lambda k: model.init(
+                k, jnp.zeros((1, 2, 8, 8, 4), jnp.bfloat16), jnp.asarray([1]), ctx[:1]
+            )["params"]
+        )(key)
+        f = jax.jit(lambda p, s, t, c: model.apply({"params": p}, s, t, c))
+        timeit(f"unet[{name}]", f, params, sample, t, ctx)
+
+    # pallas on/off comparison for the full unet
+    from controlanimate_tpu.ops import attention as attn_mod
+
+    attn_mod.set_pallas_enabled(False)
+    model = UNet3DConditionModel(UNet3DConfig(), dtype=jnp.bfloat16)
+    params = jax.jit(
+        lambda k: model.init(
+            k, jnp.zeros((1, 2, 8, 8, 4), jnp.bfloat16), jnp.asarray([1]), ctx[:1]
+        )["params"]
+    )(key)
+    f = jax.jit(lambda p, s, t, c: model.apply({"params": p}, s, t, c))
+    timeit("unet[full, xla-attn]", f, params, sample, t, ctx)
+    attn_mod.set_pallas_enabled(True)
+
+
 if __name__ == "__main__":
     which = set(sys.argv[1:]) or {"attn", "unet", "vae"}
     log(f"device: {jax.devices()[0]}")
@@ -93,6 +137,8 @@ if __name__ == "__main__":
         bench_unet()
     if "vae" in which:
         bench_vae()
+    if "ablate" in which:
+        bench_ablate()
     if "window" in which:
         bench_window()
     log("DONE")

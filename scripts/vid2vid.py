@@ -79,6 +79,25 @@ def _round64(x: int) -> int:
     return max((int(x) // 64) * 64, 64)
 
 
+def _upscale_frames(frames, upscaler, upscale: float, out_w: int, out_h: int):
+    """Batch-upscale emitted frames (the reference upscales one frame at a
+    time on GPU, vid2vid.py:239-244)."""
+    frames = np.asarray(frames, np.uint8)
+    if len(frames) == 0:
+        return []
+    if upscaler is not None:
+        if hasattr(upscaler, "upscale_batch") and not getattr(upscaler, "face_enhancer", None):
+            return list(upscaler.upscale_batch(frames))
+        return [upscaler(f) for f in frames]
+    if upscale > 1.0:
+        import cv2
+
+        return [
+            cv2.resize(f, (out_w, out_h), interpolation=cv2.INTER_LANCZOS4) for f in frames
+        ]
+    return list(frames)
+
+
 def vid2vid(
     config_path: Optional[str] = None,
     config: Optional[RunConfig] = None,
@@ -264,15 +283,10 @@ def vid2vid(
 
         # emit all but the tail overlap; the tail is flushed after the loop
         emit = len(frames) - len(state.overlap_frames)
-        for frame in frames[:emit]:
-            if upscaler is not None:
-                frame = upscaler(frame)
-            elif upscale > 1.0:
-                import cv2
-
-                frame = cv2.resize(frame, (out_w, out_h), interpolation=cv2.INTER_LANCZOS4)
-            frame_sink.write(frame)
-            frames_written += 1
+        with timers.phase("upscale_and_emit"):
+            for frame in _upscale_frames(frames[:emit], upscaler, upscale, out_w, out_h):
+                frame_sink.write(frame)
+                frames_written += 1
 
         if cfg.save_frames:
             fdir = out_dir / "vid2vid_frames"
@@ -287,13 +301,9 @@ def vid2vid(
         _save_state(out_dir, state, nonlocal_consumed[0], frames_written, segment)
 
     # flush the pending tail overlap frames (generated, not yet emitted)
-    for frame in state.overlap_frames:
-        if upscaler is not None:
-            frame = upscaler(frame)
-        elif upscale > 1.0:
-            import cv2
-
-            frame = cv2.resize(frame, (out_w, out_h), interpolation=cv2.INTER_LANCZOS4)
+    for frame in _upscale_frames(
+        np.asarray(state.overlap_frames), upscaler, upscale, out_w, out_h
+    ):
         frame_sink.write(frame)
         frames_written += 1
 
