@@ -93,6 +93,12 @@ class ControlAnimatePipeline:
             from .ip_adapter import IPAdapter
 
             self.ip_adapter = IPAdapter.from_config(config)
+            # write the checkpoint's to_k_ip/to_v_ip into every cross-attn
+            # (reference does this with a regex index remap,
+            # ip_adapter.py:136-185; here addressing is structural)
+            self.models.unet_params = self.ip_adapter.inject_into_unet_params(
+                self.models.unet_params, self.models.unet.config
+            )
 
     # ------------------------------------------------------------------ build
     def _build_from_disk(self):

@@ -21,7 +21,7 @@ from scripts.vid2vid import vid2vid
 D_CTX = 16
 
 
-def tiny_pipeline(cfg: RunConfig, with_controlnet=False) -> ControlAnimatePipeline:
+def tiny_pipeline(cfg: RunConfig, with_controlnet=False, ip_adapter=None) -> ControlAnimatePipeline:
     key = jax.random.PRNGKey(0)
     ucfg = UNet3DConfig(
         block_out_channels=(8, 16),
@@ -66,7 +66,7 @@ def tiny_pipeline(cfg: RunConfig, with_controlnet=False) -> ControlAnimatePipeli
     tmodel = CLIPTextModel(tcfg)
     tparams = tmodel.init(key, jnp.zeros((1, 77), jnp.int32))["params"]
     text = TextStack(tok, tmodel, tparams)
-    return ControlAnimatePipeline(cfg, models=models, text_stack=text)
+    return ControlAnimatePipeline(cfg, models=models, text_stack=text, ip_adapter=ip_adapter)
 
 
 def base_cfg(**kw) -> RunConfig:
@@ -155,3 +155,43 @@ def test_resume_mid_video(tmp_path):
     assert resumed["windows"] == 2  # the remaining 2 windows
     # total unique frames across both runs covers the whole stream
     assert partial["frames_written"] + len(s2.frames) >= 10
+
+
+def test_ipadapter_initial_generation_loop():
+    """IP-Adapter path end to end: zeros tokens on the first window, anchor
+    embeds afterwards, plus the initial double-generation pass
+    (reference: vid2vid.py:199-212, controlanimation_pipeline.py:698-710)."""
+    import jax.numpy as jnp
+    from controlanimate_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
+    from controlanimate_tpu.pipelines.ip_adapter import IPAdapter
+
+    class StubAdapter:
+        num_tokens = 4
+
+        def embed_image(self, frame):
+            e = jnp.asarray(np.asarray(frame, np.float32).mean() / 255.0)
+            cond = jnp.ones((1, 4, D_CTX)) * e
+            return cond, jnp.zeros((1, 4, D_CTX))
+
+    cfg = base_cfg(use_ipadapter=True, do_initial_generation=True, ipa_scale=0.6)
+    pipe = tiny_pipeline(cfg, ip_adapter=StubAdapter())
+
+    # rebuild the unet with dual-stream cross attention (ip_tokens=4)
+    ucfg = UNet3DConfig(**{**pipe.models.unet.config.__dict__, "ip_tokens": 4})
+    unet = UNet3DConditionModel(ucfg)
+    ctx = jnp.zeros((1, 11, D_CTX))
+    unet_params = unet.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, 8, 8, 4)), jnp.asarray([1]), ctx
+    )["params"]
+    pipe.models.unet = unet
+    pipe.models.unet_params = unet_params
+    pipe.engine.m.unet = unet
+    pipe.engine.m.unet_params = unet_params
+
+    frames_in = (np.random.RandomState(5).rand(6, 64, 64, 3) * 255).astype(np.uint8)
+    sink = ArrayFrameSink()
+    summary = vid2vid(
+        config=cfg, pipeline=pipe,
+        frame_source=ArrayFrameSource(frames_in), frame_sink=sink,
+    )
+    assert summary["frames_written"] == 6
