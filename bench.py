@@ -69,16 +69,20 @@ def main(frames: int = 16, size: int = 512, steps: int = 4, iters: int = 5):
 
     fn = engine.make_window_fn(st)
 
+    def run_once(k):
+        out = fn(unet_params, (), text, (), input_frames, None, k)
+        # host readback forces real completion (the tunneled TPU path's
+        # block_until_ready returns before execution finishes)
+        return float(out.astype(jnp.float32).sum())
+
     t0 = time.time()
-    out = fn(unet_params, (), text, (), input_frames, None, key)
-    out.block_until_ready()
+    run_once(key)
     log(f"compile + first window: {time.time() - t0:.1f}s")
 
     times = []
     for i in range(iters):
         t0 = time.time()
-        out = fn(unet_params, (), text, (), input_frames, None, jax.random.fold_in(key, i))
-        out.block_until_ready()
+        run_once(jax.random.fold_in(key, i))
         times.append(time.time() - t0)
         log(f"window {i}: {times[-1]*1000:.1f} ms")
 

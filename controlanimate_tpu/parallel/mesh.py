@@ -61,14 +61,36 @@ def shard_params(mesh: Mesh, params):
     return jax.device_put(params, replicated(mesh))
 
 
+def _fits(x, mesh: Mesh, axes: Sequence[str], dims: Sequence[int]) -> bool:
+    return all(x.shape[d] % mesh.shape[a] == 0 for a, d in zip(axes, dims))
+
+
 def shard_window_inputs(mesh: Mesh, text_embeds, cond_images, input_frames, last_output_frames):
     """Place window inputs: batch-sharded embeds, video tensors on
-    data x context."""
+    data x context. Tensors whose axes don't divide the mesh (e.g. a short
+    overlap-anchor frame stack) replicate on the offending axis."""
     sb, sv = shard_batch(mesh), shard_video(mesh)
-    place = lambda x, s: None if x is None else jax.device_put(x, s)
+    rep = replicated(mesh)
+
+    def place_video(x):
+        if x is None:
+            return None
+        if _fits(x, mesh, ("data", "context"), (0, 1)):
+            return jax.device_put(x, sv)
+        if _fits(x, mesh, ("data",), (0,)):
+            return jax.device_put(x, sb)
+        return jax.device_put(x, rep)
+
+    def place_batch(x):
+        if x is None:
+            return None
+        if _fits(x, mesh, ("data",), (0,)):
+            return jax.device_put(x, sb)
+        return jax.device_put(x, rep)
+
     return (
-        place(text_embeds, sb),
-        tuple(place(c, sv) for c in cond_images),
-        place(input_frames, sv),
-        place(last_output_frames, sv),
+        place_batch(text_embeds),
+        tuple(place_video(c) for c in cond_images),
+        place_video(input_frames),
+        place_video(last_output_frames),
     )

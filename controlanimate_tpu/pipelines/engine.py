@@ -336,6 +336,11 @@ class AnimationEngine:
         if key_ in self._window_cache:
             return self._window_cache[key_]
         sched = self.build_scheduler(st)
+        if sched.num_steps == 0:
+            raise ValueError(
+                f"steps*strength truncated to zero denoise steps "
+                f"(steps={st.steps}, strength={st.strength}); raise either value"
+            )
         prepare = self._make_prepare_fn(st, sched)
         denoise = self._make_denoise_fn(st, sched)
         decode = self._make_decode_fn()

@@ -89,6 +89,19 @@ class ControlAnimatePipeline:
         )
         self.engine = AnimationEngine(self.models, schedule)
         self._prompt_cache: dict = {}
+
+        # optional multi-chip mesh (new vs reference's hardcoded single GPU):
+        # params replicate, video tensors shard data x context (SURVEY §5.8)
+        self.mesh = None
+        if config.mesh_shape:
+            from ..parallel.mesh import make_mesh, shard_params
+
+            self.mesh = make_mesh(tuple(config.mesh_shape), tuple(config.mesh_axes))
+            self.models.unet_params = shard_params(self.mesh, self.models.unet_params)
+            self.models.vae_params = shard_params(self.mesh, self.models.vae_params)
+            self.models.controlnet_params = [
+                shard_params(self.mesh, p) for p in self.models.controlnet_params
+            ]
         if config.use_ipadapter and self.ip_adapter is None:
             from .ip_adapter import IPAdapter
 
@@ -301,14 +314,24 @@ class ControlAnimatePipeline:
             arr = np.asarray(frames, np.float32) / 255.0 * 2.0 - 1.0
             return jnp.asarray(arr)[None]  # add batch axis
 
+        input_dev = to_float(input_frames)
+        last_dev = to_float(last_output_frames)
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_window_inputs
+
+            text_embeds, cond_images, input_dev, last_dev = shard_window_inputs(
+                self.mesh, text_embeds, cond_images, input_dev, last_dev
+            )
+            cond_images = list(cond_images)
+
         key = jax.random.PRNGKey(seed + epoch * 7919)
         out = self.engine.generate_window(
             st,
             text_embeds,
             key,
             cond_images=cond_images,
-            input_frames=to_float(input_frames),
-            last_output_frames=to_float(last_output_frames),
+            input_frames=input_dev,
+            last_output_frames=last_dev,
         )
         frames = np.asarray(out[0])  # (F, H, W, 3) in [0,1]
         return (frames * 255.0 + 0.5).astype(np.uint8)

@@ -195,3 +195,25 @@ def test_ipadapter_initial_generation_loop():
         frame_source=ArrayFrameSource(frames_in), frame_sink=sink,
     )
     assert summary["frames_written"] == 6
+
+
+def test_sharded_pipeline_on_virtual_mesh(eight_devices):
+    """Config-driven mesh: the same vid2vid loop over a 1x8 data x context
+    mesh on virtual CPU devices (SURVEY §5.8 sharding plan)."""
+    cfg = base_cfg(mesh_shape=(1, 8), frame_count=8, overlap_length=0, steps=2, strength=1.0)
+    pipe = tiny_pipeline(cfg)
+    from controlanimate_tpu.parallel.mesh import make_mesh, shard_params
+
+    pipe.mesh = make_mesh((1, 8), ("data", "context"))
+    pipe.models.unet_params = shard_params(pipe.mesh, pipe.models.unet_params)
+    pipe.models.vae_params = shard_params(pipe.mesh, pipe.models.vae_params)
+    pipe.engine.m.unet_params = pipe.models.unet_params
+    pipe.engine.m.vae_params = pipe.models.vae_params
+
+    frames_in = (np.random.RandomState(6).rand(8, 64, 64, 3) * 255).astype(np.uint8)
+    sink = ArrayFrameSink()
+    summary = vid2vid(
+        config=cfg, pipeline=pipe,
+        frame_source=ArrayFrameSource(frames_in), frame_sink=sink,
+    )
+    assert summary["frames_written"] == 8
