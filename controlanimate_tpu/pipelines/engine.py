@@ -106,8 +106,16 @@ class AnimationEngine:
                 st.steps,
                 strength=st.strength,
                 lcm_origin_steps=st.lcm_origin_steps,
+                strength_mode="origin",
             )
-        return make_scheduler(st.scheduler_name, self.schedule, st.steps, strength=st.strength)
+        kw = {}
+        if st.scheduler_name == "LCMScheduler":
+            # LCM-LoRA profile: diffusers LCM table + tail truncation
+            # (reference :731-740 with the registry scheduler)
+            kw = {"lcm_origin_steps": st.lcm_origin_steps, "strength_mode": "tail"}
+        return make_scheduler(
+            st.scheduler_name, self.schedule, st.steps, strength=st.strength, **kw
+        )
 
     # -- VAE helpers ---------------------------------------------------------
     def _encode_frames(self, vae_params, frames: jnp.ndarray, key) -> jnp.ndarray:

@@ -38,14 +38,28 @@ class LCMScheduler(Scheduler):
         prediction_type: str = "epsilon",
         sigma_data: float = 0.5,
         timestep_scaling: float = 10.0,
+        strength_mode: str = "origin",
     ):
+        """strength_mode:
+        'origin' — strength scales the origin-step count before striding
+          (the vendored scheduler's img2img behavior, used on the use_lcm
+          path; reference :1162-1170);
+        'tail'   — full table, then img2img tail truncation (the diffusers
+          LCMScheduler + get_timesteps path taken when the registry
+          scheduler is LCM but use_lcm=0, i.e. LCM-LoRA profiles;
+          reference :731-740)."""
         super().__init__(schedule)
         T = schedule.num_train_timesteps
         S = num_inference_steps
         c = T // lcm_origin_steps
-        origin = np.arange(1, int(lcm_origin_steps * strength) + 1) * c - 1  # ascending
+        origin_strength = strength if strength_mode == "origin" else 1.0
+        origin = np.arange(1, int(lcm_origin_steps * origin_strength) + 1) * c - 1
         skipping = max(len(origin) // S, 1)
         ts = origin[::-skipping][:S].astype(np.int64).copy()  # descending, strided
+        if strength_mode == "tail" and strength < 1.0:
+            from .common import truncate_for_strength
+
+            ts = truncate_for_strength(ts, S, strength)
         self.timesteps = ts
         self.num_steps = len(ts)
         self.init_noise_sigma = 1.0

@@ -178,3 +178,17 @@ def test_schedulers_are_jittable_and_scan_safe():
         out = go(x0)
         assert out.shape == x0.shape
         assert bool(jnp.all(jnp.isfinite(out))), name
+
+
+def test_lcm_strength_modes():
+    """'origin' scales origin steps (vendored use_lcm path); 'tail' truncates
+    the full table (diffusers LCMScheduler + get_timesteps, LCM-LoRA path)."""
+    full = make_scheduler("LCMScheduler", SCHED, 8, lcm_origin_steps=50,
+                          strength_mode="tail")
+    tail = make_scheduler("LCMScheduler", SCHED, 8, strength=0.5,
+                          lcm_origin_steps=50, strength_mode="tail")
+    assert list(tail.timesteps) == list(full.timesteps[4:])
+    origin = make_scheduler("LCMScheduler", SCHED, 8, strength=0.5,
+                            lcm_origin_steps=50, strength_mode="origin")
+    assert origin.timesteps[0] == 499  # 25 origin steps, top = 25*20-1
+    assert tail.timesteps[0] != origin.timesteps[0]
