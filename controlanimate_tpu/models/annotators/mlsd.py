@@ -3,8 +3,9 @@
 The reference uses the MLSDdetector torch model
 (reference: modules/controlresiduals_pipeline.py:56-62 via controlnet_aux).
 Here:
-  * with local MLSD weights present a port can be loaded (tracked; the
-    MobileNetV2+FPN port is pending), and
+  * with local MLSD weights present, the full MobileNetV2+FPN Flax port
+    runs (mlsd_net.py: BN-folded convs, center-heatmap NMS + displacement
+    decode), and
   * without weights, a classical probabilistic-Hough line detector produces
     the same kind of condition map (white line segments on black), so the
     MLSD ControlNet path works out of the box in weight-less environments.
@@ -39,8 +40,7 @@ def hough_lines(frames: np.ndarray, score_thr: float = 0.1) -> np.ndarray:
 def run(frames: np.ndarray, weight_dir: Path) -> np.ndarray:
     weight_file = Path(weight_dir) / "mlsd_large_512_fp32.pth"
     if weight_file.exists():
-        raise NotImplementedError(
-            "MLSD neural port pending; remove the checkpoint to use the "
-            "classical Hough fallback, or use another line annotator"
-        )
+        from . import mlsd_net
+
+        return mlsd_net.run(frames, weight_file)
     return hough_lines(frames)

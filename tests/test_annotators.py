@@ -275,3 +275,63 @@ def test_pidinet_forward_with_synthetic_weights(tmp_path):
     out = pn.run(frames, tmp_path)
     assert out.shape == (1, 64, 64, 3)
     assert 0.0 <= out.min() and out.max() <= 1.0
+
+
+def test_mlsd_neural_with_synthetic_weights(tmp_path):
+    """MLSD MobileNetV2+FPN port: synthetic BN-bearing ckpt -> forward+decode."""
+    import torch
+    from controlanimate_tpu.models.annotators import mlsd_net as mn
+
+    rs = np.random.RandomState(0)
+    sd = {}
+
+    def conv_bn(conv_prefix, bn_prefix, cout, cin, k, groups=1):
+        sd[f"{conv_prefix}.weight"] = rs.randn(cout, cin // groups, k, k).astype(np.float32) * 0.05
+        sd[f"{bn_prefix}.weight"] = np.abs(rs.randn(cout)).astype(np.float32) + 0.5
+        sd[f"{bn_prefix}.bias"] = rs.randn(cout).astype(np.float32) * 0.01
+        sd[f"{bn_prefix}.running_mean"] = rs.randn(cout).astype(np.float32) * 0.01
+        sd[f"{bn_prefix}.running_var"] = np.abs(rs.randn(cout)).astype(np.float32) + 1.0
+
+    fx = "backbone.features"
+    conv_bn(f"{fx}.0.0", f"{fx}.0.1", 32, 4, 3)
+    in_c = 32
+    for i, (e, c, s) in enumerate(mn._IR_SPEC, start=1):
+        if e == 1:
+            conv_bn(f"{fx}.{i}.conv.0.0", f"{fx}.{i}.conv.0.1", in_c, in_c, 3, groups=in_c)
+            conv_bn(f"{fx}.{i}.conv.1", f"{fx}.{i}.conv.2", c, in_c, 1)
+        else:
+            hid = in_c * e
+            conv_bn(f"{fx}.{i}.conv.0.0", f"{fx}.{i}.conv.0.1", hid, in_c, 1)
+            conv_bn(f"{fx}.{i}.conv.1.0", f"{fx}.{i}.conv.1.1", hid, hid, 3, groups=hid)
+            conv_bn(f"{fx}.{i}.conv.2", f"{fx}.{i}.conv.3", c, hid, 1)
+        in_c = c
+    # decoder: BlockA convs (in channels per tap), BlockB, BlockC
+    for name, (c_a, c_b) in {"block15": (64, 96), "block17": (32, 128 and 64),
+                             "block19": (24, 64), "block21": (16, 64)}.items():
+        pass
+    conv_bn("block15.conv1.0", "block15.conv1.1", 64, 96, 1)
+    conv_bn("block15.conv2.0", "block15.conv2.1", 64, 64, 1)
+    conv_bn("block16.conv1.0", "block16.conv1.1", 128, 128, 3)
+    conv_bn("block16.conv2.0", "block16.conv2.1", 64, 128, 3)
+    conv_bn("block17.conv1.0", "block17.conv1.1", 64, 64, 1)
+    conv_bn("block17.conv2.0", "block17.conv2.1", 64, 32, 1)
+    conv_bn("block18.conv1.0", "block18.conv1.1", 128, 128, 3)
+    conv_bn("block18.conv2.0", "block18.conv2.1", 64, 128, 3)
+    conv_bn("block19.conv1.0", "block19.conv1.1", 64, 64, 1)
+    conv_bn("block19.conv2.0", "block19.conv2.1", 64, 24, 1)
+    conv_bn("block20.conv1.0", "block20.conv1.1", 128, 128, 3)
+    conv_bn("block20.conv2.0", "block20.conv2.1", 64, 128, 3)
+    conv_bn("block21.conv1.0", "block21.conv1.1", 64, 64, 1)
+    conv_bn("block21.conv2.0", "block21.conv2.1", 64, 16, 1)
+    conv_bn("block22.conv1.0", "block22.conv1.1", 128, 128, 3)
+    conv_bn("block22.conv2.0", "block22.conv2.1", 128, 128, 3)
+    sd["block22.conv3.weight"] = rs.randn(16, 128, 1, 1).astype(np.float32) * 0.05
+    sd["block22.conv3.bias"] = np.zeros(16, np.float32)
+
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()},
+               tmp_path / "mlsd_large_512_fp32.pth")
+    from controlanimate_tpu.models.annotators import mlsd
+
+    frames = (np.random.RandomState(1).rand(1, 64, 64, 3) * 255).astype(np.uint8)
+    out = mlsd.run(frames, tmp_path)
+    assert out.shape == (1, 64, 64, 3)
