@@ -272,6 +272,12 @@ def run(frames: np.ndarray, weight_dir: Path) -> np.ndarray:
     paf8, heat8 = fn(params, jnp.asarray(x))
     paf8, heat8 = np.asarray(paf8), np.asarray(heat8)
 
+    # hands (reference enables hand_and_face=True,
+    # controlresiduals_pipeline.py:113); loads only if weights exist
+    from .openpose_hand_face import detect_and_draw_hands, load_hand_net
+
+    hand_net = load_hand_net(weight_dir)
+
     out = []
     for f_idx in range(F):
         heat = cv2.resize(heat8[f_idx], (W, H), interpolation=cv2.INTER_CUBIC)
@@ -282,5 +288,9 @@ def run(frames: np.ndarray, weight_dir: Path) -> np.ndarray:
         canvas = np.zeros((H, W, 3), np.uint8)
         if len(candidate):
             canvas = draw_bodypose(canvas, candidate, subset)
+            if hand_net is not None:
+                canvas = detect_and_draw_hands(
+                    canvas, frames[f_idx], candidate, subset, *hand_net
+                )
         out.append(canvas)
     return np.stack(out).astype(np.float32) / 255.0

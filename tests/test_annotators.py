@@ -335,3 +335,51 @@ def test_mlsd_neural_with_synthetic_weights(tmp_path):
     frames = (np.random.RandomState(1).rand(1, 64, 64, 3) * 255).astype(np.uint8)
     out = mlsd.run(frames, tmp_path)
     assert out.shape == (1, 64, 64, 3)
+
+
+def test_hand_net_forward_and_regions(tmp_path):
+    import torch
+    import jax, jax.numpy as jnp
+    from controlanimate_tpu.models.annotators import openpose_hand_face as hf
+
+    rs = np.random.RandomState(0)
+    sd = {}
+    in_ch = 3
+    for name, ch, k in hf._HAND_TRUNK:
+        if name.startswith("pool"):
+            continue
+        sd[f"model1_0.{name}.weight"] = rs.randn(ch, in_ch, k, k).astype(np.float32) * 0.02
+        sd[f"model1_0.{name}.bias"] = np.zeros(ch, np.float32)
+        in_ch = ch
+    sd["model1_1.conv6_1_CPM.weight"] = rs.randn(512, 128, 1, 1).astype(np.float32) * 0.02
+    sd["model1_1.conv6_1_CPM.bias"] = np.zeros(512, np.float32)
+    sd["model1_1.conv6_2_CPM.weight"] = rs.randn(22, 512, 1, 1).astype(np.float32) * 0.02
+    sd["model1_1.conv6_2_CPM.bias"] = np.zeros(22, np.float32)
+    for stage in range(2, 7):
+        cin = 150  # 22 + 128
+        for i in range(1, 6):
+            sd[f"model{stage}.Mconv{i}_stage{stage}.weight"] = rs.randn(128, cin, 7, 7).astype(np.float32) * 0.01
+            sd[f"model{stage}.Mconv{i}_stage{stage}.bias"] = np.zeros(128, np.float32)
+            cin = 128
+        sd[f"model{stage}.Mconv6_stage{stage}.weight"] = rs.randn(128, 128, 1, 1).astype(np.float32) * 0.01
+        sd[f"model{stage}.Mconv6_stage{stage}.bias"] = np.zeros(128, np.float32)
+        sd[f"model{stage}.Mconv7_stage{stage}.weight"] = rs.randn(22, 128, 1, 1).astype(np.float32) * 0.01
+        sd[f"model{stage}.Mconv7_stage{stage}.bias"] = np.zeros(22, np.float32)
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, tmp_path / "hand_pose_model.pth")
+
+    fn, params = hf.load_hand_net(tmp_path)
+    x = jnp.zeros((1, 64, 64, 3))
+    out = fn(params, x)
+    assert out.shape == (1, 8, 8, 22)
+
+    # region proposal geometry: a synthetic person with elbow+wrist
+    candidate = np.array([[50, 50, 1, i] for i in range(8)], np.float64)
+    subset = -1 * np.ones((1, 20))
+    subset[0, 2], subset[0, 3], subset[0, 4] = 2, 3, 4  # right arm chain
+    candidate[3][:2] = (40, 60)  # elbow
+    candidate[4][:2] = (60, 80)  # wrist
+    candidate[2][:2] = (30, 40)  # shoulder
+    regions = hf.hand_regions_from_body(candidate, subset, 128, 128)
+    assert len(regions) == 1
+    x0, y0, w, is_left = regions[0]
+    assert not is_left and w > 20
