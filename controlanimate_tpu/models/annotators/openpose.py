@@ -274,9 +274,11 @@ def run(frames: np.ndarray, weight_dir: Path) -> np.ndarray:
 
     # hands (reference enables hand_and_face=True,
     # controlresiduals_pipeline.py:113); loads only if weights exist
+    from .openpose_face import detect_and_draw_faces, load_face_net
     from .openpose_hand_face import detect_and_draw_hands, load_hand_net
 
     hand_net = load_hand_net(weight_dir)
+    face_net = load_face_net(weight_dir)
 
     out = []
     for f_idx in range(F):
@@ -291,6 +293,10 @@ def run(frames: np.ndarray, weight_dir: Path) -> np.ndarray:
             if hand_net is not None:
                 canvas = detect_and_draw_hands(
                     canvas, frames[f_idx], candidate, subset, *hand_net
+                )
+            if face_net is not None:
+                canvas = detect_and_draw_faces(
+                    canvas, frames[f_idx], candidate, subset, *face_net
                 )
         out.append(canvas)
     return np.stack(out).astype(np.float32) / 255.0

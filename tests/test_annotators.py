@@ -383,3 +383,47 @@ def test_hand_net_forward_and_regions(tmp_path):
     assert len(regions) == 1
     x0, y0, w, is_left = regions[0]
     assert not is_left and w > 20
+
+
+def test_face_net_forward_and_regions(tmp_path):
+    import torch
+    import jax, jax.numpy as jnp
+    from controlanimate_tpu.models.annotators import openpose_face as of
+
+    rs = np.random.RandomState(0)
+    sd = {}
+    in_ch = 3
+    for name, ch, k in of._FACE_TRUNK:
+        if name.startswith("pool"):
+            continue
+        sd[f"{name}.weight"] = rs.randn(ch, in_ch, k, k).astype(np.float32) * 0.02
+        sd[f"{name}.bias"] = np.zeros(ch, np.float32)
+        in_ch = ch
+    sd["conv6_1_CPM.weight"] = rs.randn(512, 128, 1, 1).astype(np.float32) * 0.02
+    sd["conv6_1_CPM.bias"] = np.zeros(512, np.float32)
+    sd["conv6_2_CPM.weight"] = rs.randn(71, 512, 1, 1).astype(np.float32) * 0.02
+    sd["conv6_2_CPM.bias"] = np.zeros(71, np.float32)
+    for stage in range(2, 7):
+        cin = 199  # 71 + 128
+        for i in range(1, 6):
+            sd[f"Mconv{i}_stage{stage}.weight"] = rs.randn(128, cin, 7, 7).astype(np.float32) * 0.01
+            sd[f"Mconv{i}_stage{stage}.bias"] = np.zeros(128, np.float32)
+            cin = 128
+        sd[f"Mconv6_stage{stage}.weight"] = rs.randn(128, 128, 1, 1).astype(np.float32) * 0.01
+        sd[f"Mconv6_stage{stage}.bias"] = np.zeros(128, np.float32)
+        sd[f"Mconv7_stage{stage}.weight"] = rs.randn(71, 128, 1, 1).astype(np.float32) * 0.01
+        sd[f"Mconv7_stage{stage}.bias"] = np.zeros(71, np.float32)
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, tmp_path / "facenet.pth")
+
+    fn, params = of.load_face_net(tmp_path)
+    out = fn(params, jnp.zeros((1, 64, 64, 3)))
+    assert out.shape == (1, 8, 8, 71)
+
+    candidate = np.array([[64, 64, 1, 0], [0, 0, 0, 1]] + [[0, 0, 0, i] for i in range(2, 14)]
+                         + [[70, 58, 1, 14], [58, 58, 1, 15], [80, 60, 1, 16], [48, 60, 1, 17]],
+                         np.float64)
+    subset = -1 * np.ones((1, 20))
+    subset[0, 0] = 0
+    subset[0, 14], subset[0, 15], subset[0, 16], subset[0, 17] = 14, 15, 16, 17
+    regions = of.face_regions_from_body(candidate, subset, 128, 128)
+    assert len(regions) == 1 and regions[0][2] > 20
