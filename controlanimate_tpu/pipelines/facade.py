@@ -155,6 +155,7 @@ class ControlAnimatePipeline:
         vae = AutoencoderKL(
             block_out_channels=tuple(vae_json.get("block_out_channels", (128, 256, 512, 512))),
             scaling_factor=vae_json.get("scaling_factor", 0.18215),
+            groups=vae_json.get("norm_num_groups", 32),
             dtype=self.dtype,
         )
         vae_params = vae_params_from_torch(vae_sd, vae.block_out_channels)

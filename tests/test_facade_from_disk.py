@@ -1,0 +1,217 @@
+"""Integration test: full ControlAnimatePipeline._build_from_disk path from
+a synthetic HF-layout snapshot (tokenizer files, safetensors components,
+motion-module ckpt, LoRA, TI) — the path real users hit with the reference's
+model zoo on disk."""
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from controlanimate_tpu.config import ArchConfig, MotionModuleConfig, RunConfig
+from controlanimate_tpu.models.tokenizer import CLIPTokenizer, bytes_to_unicode
+from controlanimate_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
+from controlanimate_tpu.models.vae import AutoencoderKL
+from controlanimate_tpu.models.clip import CLIPTextConfig, CLIPTextModel
+from controlanimate_tpu.weights.unet_weights import unet_params_to_torch
+from controlanimate_tpu.weights.vae_weights import vae_mapping
+from controlanimate_tpu.weights.clip_weights import text_params_from_torch
+
+D_CTX = 16
+VAE_CH = (8, 16, 16, 16)
+
+
+def _save_safetensors(path: Path, sd: dict):
+    from safetensors.numpy import save_file
+
+    path.parent.mkdir(parents=True, exist_ok=True)
+    save_file({k: np.ascontiguousarray(v) for k, v in sd.items()}, str(path))
+
+
+def _tiny_tokenizer_files(d: Path):
+    d.mkdir(parents=True, exist_ok=True)
+    byte_vocab = {c: i for i, c in enumerate(bytes_to_unicode().values())}
+    vocab = dict(byte_vocab)
+    for c in list(byte_vocab):
+        vocab[c + "</w>"] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    (d / "vocab.json").write_text(json.dumps(vocab))
+    (d / "merges.txt").write_text("#version: 0.2\n")
+    return len(vocab)
+
+
+def _text_encoder_sd(vocab_size: int, rs):
+    """HF CLIPText state dict with tiny dims."""
+    L, Dh, I = 2, D_CTX, 32
+    sd = {
+        "text_model.embeddings.token_embedding.weight": rs.randn(vocab_size, Dh),
+        "text_model.embeddings.position_embedding.weight": rs.randn(77, Dh),
+        "text_model.final_layer_norm.weight": np.ones(Dh),
+        "text_model.final_layer_norm.bias": np.zeros(Dh),
+    }
+    for i in range(L):
+        p = f"text_model.encoder.layers.{i}"
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            sd[f"{p}.self_attn.{proj}.weight"] = rs.randn(Dh, Dh) * 0.05
+            sd[f"{p}.self_attn.{proj}.bias"] = np.zeros(Dh)
+        sd[f"{p}.layer_norm1.weight"] = np.ones(Dh)
+        sd[f"{p}.layer_norm1.bias"] = np.zeros(Dh)
+        sd[f"{p}.layer_norm2.weight"] = np.ones(Dh)
+        sd[f"{p}.layer_norm2.bias"] = np.zeros(Dh)
+        sd[f"{p}.mlp.fc1.weight"] = rs.randn(I, Dh) * 0.05
+        sd[f"{p}.mlp.fc1.bias"] = np.zeros(I)
+        sd[f"{p}.mlp.fc2.weight"] = rs.randn(Dh, I) * 0.05
+        sd[f"{p}.mlp.fc2.bias"] = np.zeros(Dh)
+    return {k: np.asarray(v, np.float32) for k, v in sd.items()}
+
+
+def _vae_sd(rs):
+    """Random diffusers-layout VAE state dict derived from the mapping table."""
+    vae = AutoencoderKL(block_out_channels=VAE_CH, groups=4)
+    params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
+
+    def get(tree, path):
+        node = tree
+        for p in path.split("/"):
+            node = node[p]
+        return np.asarray(node)
+
+    sd = {}
+    for tkey, fpath, kind in vae_mapping(VAE_CH):
+        arr = get(params, fpath)
+        if kind == "conv":
+            arr = np.transpose(arr, (3, 2, 0, 1))
+        elif kind == "dense":
+            arr = np.transpose(arr, (1, 0))
+        sd[tkey] = rs.randn(*arr.shape).astype(np.float32) * 0.05
+    return sd
+
+
+UCFG = UNet3DConfig(
+    block_out_channels=(8, 8, 16, 16),
+    layers_per_block=1,
+    attention_heads=2,
+    cross_attention_dim=D_CTX,
+    norm_num_groups=4,
+    motion=MotionModuleConfig(num_attention_heads=2, temporal_position_encoding_max_len=32),
+)
+
+
+def _unet_sds(rs):
+    model = UNet3DConditionModel(UCFG)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, 16, 16, 4)), jnp.asarray([1]),
+        jnp.zeros((1, 7, D_CTX)),
+    )["params"]
+    params = jax.tree_util.tree_map(
+        lambda a: rs.randn(*a.shape).astype(np.float32) * 0.05, params
+    )
+    sd = unet_params_to_torch(params, UCFG)
+    sd_2d = {k: v for k, v in sd.items() if "motion_modules" not in k}
+    sd_motion = {k: v for k, v in sd.items() if "motion_modules" in k}
+    return sd_2d, sd_motion
+
+
+@pytest.fixture(scope="module")
+def snapshot(tmp_path_factory):
+    import torch
+
+    root = tmp_path_factory.mktemp("sd_snapshot")
+    rs = np.random.RandomState(0)
+
+    vocab_size = _tiny_tokenizer_files(root / "tokenizer")
+
+    te_dir = root / "text_encoder"
+    te_dir.mkdir()
+    (te_dir / "config.json").write_text(json.dumps({
+        "vocab_size": vocab_size, "hidden_size": D_CTX, "num_hidden_layers": 2,
+        "num_attention_heads": 2, "intermediate_size": 32,
+        "max_position_embeddings": 77, "eos_token_id": vocab_size - 1,
+    }))
+    _save_safetensors(te_dir / "model.safetensors", _text_encoder_sd(vocab_size, rs))
+
+    vae_dir = root / "vae"
+    vae_dir.mkdir()
+    (vae_dir / "config.json").write_text(json.dumps({
+        "block_out_channels": list(VAE_CH), "scaling_factor": 0.18215,
+        "norm_num_groups": 4,
+    }))
+    _save_safetensors(vae_dir / "diffusion_pytorch_model.safetensors", _vae_sd(rs))
+
+    unet_dir = root / "unet"
+    unet_dir.mkdir()
+    (unet_dir / "config.json").write_text(json.dumps({
+        "in_channels": 4, "out_channels": 4,
+        "block_out_channels": [8, 8, 16, 16], "layers_per_block": 1,
+        "attention_head_dim": 2, "cross_attention_dim": D_CTX,
+        "norm_num_groups": 4,
+    }))
+    sd_2d, sd_motion = _unet_sds(rs)
+    _save_safetensors(unet_dir / "diffusion_pytorch_model.safetensors", sd_2d)
+    torch.save(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd_motion.items()},
+        root / "motion_module.ckpt",
+    )
+
+    # a small unet LoRA in kohya format targeting one attention projection
+    up = rs.randn(8, 2).astype(np.float32)
+    down = rs.randn(2, D_CTX).astype(np.float32)
+    from safetensors.numpy import save_file
+
+    save_file(
+        {
+            "lora_unet_down_blocks_0_attentions_0_transformer_blocks_0_attn2_to_k.lora_up.weight": up,
+            "lora_unet_down_blocks_0_attentions_0_transformer_blocks_0_attn2_to_k.lora_down.weight": down,
+        },
+        str(root / "tiny_lora.safetensors"),
+    )
+    return root
+
+
+def _run_cfg(snapshot, **kw):
+    defaults = dict(
+        pretrained_model_path=str(snapshot),
+        inference_config_path="configs/inference/inference-v2.yaml",
+        motion_module=str(snapshot / "motion_module.ckpt"),
+        textual_inversion_paths=(),
+        width=64, height=64, frame_count=2, overlap_length=1,
+        steps=2, guidance_scale=1.0, scheduler="EulerDiscreteScheduler",
+        seed=3, prompt="a (nice)+ cat", n_prompt="blurry",
+        strength=0.9, output_video_dir="/tmp/ca_from_disk",
+    )
+    defaults.update(kw)
+    return RunConfig(**defaults)
+
+
+def test_build_from_disk_and_animate(snapshot):
+    from controlanimate_tpu.pipelines.facade import ControlAnimatePipeline
+
+    cfg = _run_cfg(snapshot)
+    pipe = ControlAnimatePipeline(cfg)
+    frames = (np.random.RandomState(1).rand(2, 64, 64, 3) * 255).astype(np.uint8)
+    out = pipe.animate(frames, None, overlaps=0, strength=0.9, seed=3)
+    assert out.shape == (2, 64, 64, 3)
+    assert out.dtype == np.uint8
+
+
+def test_build_from_disk_with_lora(snapshot):
+    from controlanimate_tpu.pipelines.facade import ControlAnimatePipeline
+
+    cfg = _run_cfg(
+        snapshot,
+        lora_model_paths=(str(snapshot / "tiny_lora.safetensors"),),
+        lora_weights=(0.8,),
+    )
+    pipe = ControlAnimatePipeline(cfg)
+    base = ControlAnimatePipeline(_run_cfg(snapshot))
+    k = "down_blocks_0_attentions_0"
+    a = np.asarray(pipe.models.unet_params[k]["transformer_blocks_0"]["attn2"]["to_k"]["kernel"])
+    b = np.asarray(base.models.unet_params[k]["transformer_blocks_0"]["attn2"]["to_k"]["kernel"])
+    assert not np.allclose(a, b)  # LoRA fused into the target projection
+    other = np.asarray(pipe.models.unet_params[k]["transformer_blocks_0"]["attn1"]["to_k"]["kernel"])
+    other_b = np.asarray(base.models.unet_params[k]["transformer_blocks_0"]["attn1"]["to_k"]["kernel"])
+    np.testing.assert_array_equal(other, other_b)  # untargeted layers intact
