@@ -77,6 +77,26 @@ def bench_vae():
     timeit("vae encode 16f 512px", enc, params, x)
 
 
+def bench_vae_ablate():
+    """Where do the VAE decode milliseconds go?"""
+    from controlanimate_tpu.models.vae import Decoder, VaeAttnBlock
+
+    key = jax.random.PRNGKey(0)
+    # mid attention alone: (16, 64, 64, 512) single head
+    attn = VaeAttnBlock()
+    x = jax.random.normal(key, (16, 64, 64, 512), jnp.bfloat16)
+    p = attn.init(key, x)["params"]
+    timeit("vae mid-attn 16f@64^2x512", jax.jit(lambda p, x: attn.apply({"params": p}, x)), p, x)
+
+    # a single 512^2 x 128 conv stage (the top decoder level geometry)
+    from flax import linen as nn
+
+    conv = nn.Conv(128, (3, 3), padding=1, dtype=jnp.bfloat16)
+    x2 = jax.random.normal(key, (16, 512, 512, 128), jnp.bfloat16)
+    p2 = conv.init(key, x2)["params"]
+    timeit("conv3x3 16f@512^2x128", jax.jit(lambda p, x: conv.apply({"params": p}, x)), p2, x2)
+
+
 def bench_window():
     """Full LCM window via bench.py main()."""
     import bench
@@ -139,6 +159,8 @@ if __name__ == "__main__":
         bench_vae()
     if "ablate" in which:
         bench_ablate()
+    if "vaeablate" in which:
+        bench_vae_ablate()
     if "window" in which:
         bench_window()
     log("DONE")
