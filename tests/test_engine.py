@@ -169,3 +169,21 @@ def test_window_fn_cached(engine):
     f1 = eng.make_window_fn(st)
     f2 = eng.make_window_fn(st)
     assert f1 is f2
+
+
+def test_guess_mode_cfg_controlnet(engine):
+    """Guess mode + CFG: ControlNet runs on the cond-only half and its
+    residuals apply to BOTH CFG branches (the reference relies on B=1 torch
+    broadcasting for this, controlanimation_pipeline.py:811-819)."""
+    st = WindowStatic(
+        scheduler_name="EulerDiscreteScheduler", steps=2, guidance_scale=7.5,
+        guess_mode=True, strength=0.9, overlaps=0,
+    )
+    frames = jax.random.uniform(jax.random.PRNGKey(1), (1, 2, 32, 32, 3)) * 2 - 1
+    cond = jax.random.uniform(jax.random.PRNGKey(2), (1, 2, 32, 32, 3))
+    out = engine.generate_window(
+        st, _embeds(1, cfg=True), jax.random.PRNGKey(0),
+        cond_images=[cond], input_frames=frames,
+    )
+    assert out.shape == (1, 2, 32, 32, 3)
+    assert bool(jnp.all(jnp.isfinite(out)))
