@@ -1,0 +1,125 @@
+"""Minimal production-serving runtime: an HTTP job API over the vid2vid
+pipeline (stdlib-only; no reference equivalent — the reference is a one-shot
+CLI, main.py:16-23).
+
+  POST /jobs        {"config": {...RunConfig keys...}}   -> {"job_id": ...}
+  GET  /jobs/<id>   -> {"status": "queued|running|done|failed", ...}
+  GET  /healthz     -> ok
+
+One worker thread executes jobs sequentially (a single-chip TPU serves one
+window program at a time; scale-out is one process per chip/slice). Model
+stacks are cached across jobs keyed by their model-path signature, so
+repeat jobs skip weight ingestion and jit compilation.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import sys
+import threading
+import traceback
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+from controlanimate_tpu.config import RunConfig
+
+JOBS: dict[str, dict] = {}
+JOB_QUEUE: "queue.Queue[str]" = queue.Queue()
+_PIPE_CACHE: dict = {}
+_LOCK = threading.Lock()
+
+
+def _pipeline_key(cfg: RunConfig) -> tuple:
+    return (
+        cfg.pretrained_model_path, cfg.pretrained_lcm_model_path, cfg.use_lcm,
+        cfg.vae_path, cfg.dreambooth_path, tuple(cfg.lora_model_paths),
+        cfg.motion_module, tuple(cfg.controlnets), cfg.use_ipadapter,
+    )
+
+
+def worker() -> None:
+    from scripts.vid2vid import vid2vid
+
+    while True:
+        job_id = JOB_QUEUE.get()
+        job = JOBS[job_id]
+        job["status"] = "running"
+        try:
+            cfg = RunConfig.from_dict(job["config"])
+            key = _pipeline_key(cfg)
+            pipeline = _PIPE_CACHE.get(key)
+            if pipeline is None:
+                from controlanimate_tpu.pipelines.facade import ControlAnimatePipeline
+
+                pipeline = ControlAnimatePipeline(cfg)
+                _PIPE_CACHE[key] = pipeline
+            summary = vid2vid(config=cfg, pipeline=pipeline)
+            job["status"] = "done"
+            job["result"] = summary
+        except Exception as e:  # report, keep serving
+            job["status"] = "failed"
+            job["error"] = f"{type(e).__name__}: {e}"
+            job["traceback"] = traceback.format_exc()
+
+
+class Handler(BaseHTTPRequestHandler):
+    def _json(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            self._json(200, {"ok": True, "jobs": len(JOBS)})
+            return
+        if self.path.startswith("/jobs/"):
+            job = JOBS.get(self.path.split("/")[-1])
+            if job is None:
+                self._json(404, {"error": "unknown job"})
+                return
+            self._json(200, {k: v for k, v in job.items() if k != "config"})
+            return
+        self._json(404, {"error": "unknown path"})
+
+    def do_POST(self):
+        if self.path != "/jobs":
+            self._json(404, {"error": "unknown path"})
+            return
+        length = int(self.headers.get("Content-Length", 0))
+        try:
+            payload = json.loads(self.rfile.read(length) or b"{}")
+            cfg = payload.get("config")
+            if not isinstance(cfg, dict):
+                raise ValueError("body must be {'config': {...}}")
+            RunConfig.from_dict(cfg)  # validate early
+        except Exception as e:
+            self._json(400, {"error": str(e)})
+            return
+        job_id = uuid.uuid4().hex[:12]
+        with _LOCK:
+            JOBS[job_id] = {"status": "queued", "config": cfg}
+        JOB_QUEUE.put(job_id)
+        self._json(202, {"job_id": job_id})
+
+    def log_message(self, fmt, *args):  # quiet
+        pass
+
+
+def serve(port: int = 8000):
+    threading.Thread(target=worker, daemon=True).start()
+    httpd = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+    print(f"serving on :{port}", flush=True)
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    serve(int(sys.argv[1]) if len(sys.argv) > 1 else 8000)

@@ -1,0 +1,78 @@
+"""Serving runtime test: real HTTP server, stubbed pipeline execution."""
+
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _get(url):
+    try:
+        with urllib.request.urlopen(url) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_job_api_roundtrip(monkeypatch, tmp_path):
+    from scripts import serve, vid2vid as v2v
+
+    def fake_vid2vid(config=None, pipeline=None, **kw):
+        time.sleep(0.1)
+        return {"frames_written": 4, "seed": config.seed, "output": "x.mp4", "windows": 1}
+
+    class FakePipeline:
+        def __init__(self, cfg):
+            pass
+
+    monkeypatch.setattr("scripts.vid2vid.vid2vid", fake_vid2vid)
+    import controlanimate_tpu.pipelines.facade as facade
+
+    monkeypatch.setattr(facade, "ControlAnimatePipeline", FakePipeline)
+
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), serve.Handler)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    threading.Thread(target=serve.worker, daemon=True).start()
+
+    base = f"http://127.0.0.1:{port}"
+    code, health = _get(f"{base}/healthz")
+    assert code == 200 and health["ok"]
+
+    code, resp = _post(f"{base}/jobs", {"config": {"seed": 5, "prompt": "hi"}})
+    assert code == 202
+    job_id = resp["job_id"]
+
+    deadline = time.time() + 10
+    status = None
+    while time.time() < deadline:
+        code, status = _get(f"{base}/jobs/{job_id}")
+        if status["status"] in ("done", "failed"):
+            break
+        time.sleep(0.1)
+    assert status["status"] == "done", status
+    assert status["result"]["frames_written"] == 4
+
+    code, err = _get(f"{base}/jobs/nope")
+    assert code == 404
+
+    code, err = _post(f"{base}/jobs", {"bad": 1})
+    assert code == 400
+    httpd.shutdown()
