@@ -325,7 +325,11 @@ class ControlAnimatePipeline:
             )
             cond_images = list(cond_images)
 
-        key = jax.random.PRNGKey(seed + epoch * 7919)
+        # the reference re-seeds identically on EVERY animate() call
+        # (modules/controlanimate_pipeline.py:129-130), so each window draws
+        # the same base noise — a temporal-consistency property, reproduced
+        # here by not folding the epoch into the key
+        key = jax.random.PRNGKey(seed)
         out = self.engine.generate_window(
             st,
             text_embeds,

@@ -213,6 +213,8 @@ def vid2vid(
     nonlocal_consumed = [consumed]
 
     windows_run = 0
+    trace_ctx = maybe_trace(cfg.trace_dir)
+    trace_ctx.__enter__()
     while True:
         if max_windows is not None and windows_run >= max_windows:
             break
@@ -307,6 +309,7 @@ def vid2vid(
         frame_sink.write(frame)
         frames_written += 1
 
+    trace_ctx.__exit__(None, None, None)
     if own_sink:
         frame_sink.close()
     if own_source and frame_source is not None:
