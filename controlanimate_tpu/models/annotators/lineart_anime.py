@@ -9,8 +9,6 @@ ReLU-up, tanh output.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

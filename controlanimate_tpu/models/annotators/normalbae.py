@@ -11,8 +11,6 @@ Both emit the NormalBae RGB encoding (xyz -> [0,1]).
 
 from __future__ import annotations
 
-from pathlib import Path
-
 import numpy as np
 
 

@@ -15,9 +15,7 @@ table (see weights/textual_inversion.py).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Optional
-
+from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -15,7 +15,7 @@ exact layout the UNet consumes — no rearranges in the step function.
 from __future__ import annotations
 
 from dataclasses import field
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax.numpy as jnp
 import numpy as np

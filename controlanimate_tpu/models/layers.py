@@ -14,7 +14,7 @@ TPU-first conventions used across all models in this package:
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .layers import Attention, FeedForward, GroupNorm
+from .layers import FeedForward, GroupNorm
 
 
 def temporal_positional_encoding(max_len: int, dim: int) -> np.ndarray:
@@ -50,6 +50,12 @@ class TemporalAttentionBlock(nn.Module):
     def __call__(self, x):
         """x: (B, F, N, C)."""
         B, F, N, C = x.shape
+        if self.use_pos_encoding and F > self.max_len:
+            raise ValueError(
+                f"window of {F} frames exceeds the motion module's positional "
+                f"table (max_len={self.max_len}; v1=24, v2=32 — reference "
+                "motion_module.py:227-245). Lower frame_count or use the v2 module."
+            )
         h = nn.LayerNorm(name="norm", dtype=jnp.float32)(x)
         if self.use_pos_encoding:
             pe = temporal_positional_encoding(self.max_len, C)[:F]

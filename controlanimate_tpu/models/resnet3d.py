@@ -12,8 +12,6 @@ reference's einops rearrange of NCHW tensors (resnet.py:12-31).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -12,8 +12,6 @@ attention (ip_tokens=4) instead of the reference's runtime processor swap
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 from flax import linen as nn
 

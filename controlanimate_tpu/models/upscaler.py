@@ -10,7 +10,7 @@ Flax model batched over frames.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -118,6 +118,7 @@ class Upscaler:
         use_face_enhancer: bool = False,
         upscale_first: bool = False,
         model_path: Optional[str] = None,
+        face_enhancer_model_path: Optional[str] = None,
         num_block: int = 6,
     ):
         if not (1 < scale < 8):
@@ -138,9 +139,9 @@ class Upscaler:
             try:
                 from .gfpgan import FaceEnhancer
 
-                self.face_enhancer = FaceEnhancer()
-            except Exception:
-                self.face_enhancer = None
+                self.face_enhancer = FaceEnhancer(face_enhancer_model_path)
+            except FileNotFoundError:
+                self.face_enhancer = None  # no GFPGAN weights: upscale only
 
     def upscale_batch(self, frames: np.ndarray) -> np.ndarray:
         """(F, H, W, 3) uint8 -> (F, H*s, W*s, 3) uint8."""
@@ -158,7 +159,11 @@ class Upscaler:
         return out
 
     def __call__(self, frame: np.ndarray) -> np.ndarray:
-        out = self.upscale_batch(frame[None])[0]
-        if self.face_enhancer is not None:
-            out = self.face_enhancer(out)
-        return out
+        """upscale_first ordering per config (reference documents the option
+        but force-overwrites it to False, upscaler.py:23 — honored here)."""
+        if self.face_enhancer is None:
+            return self.upscale_batch(frame[None])[0]
+        if self.upscale_first:
+            out = self.upscale_batch(frame[None])[0]
+            return self.face_enhancer(out)
+        return self.upscale_batch(self.face_enhancer(frame)[None])[0]

@@ -9,7 +9,6 @@ Here a single entry point picks the best backend for the layout.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -13,9 +13,8 @@ explicit `state` pytree threaded through the scan carry.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

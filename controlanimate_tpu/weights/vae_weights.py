@@ -12,7 +12,6 @@ from typing import Iterator
 
 import numpy as np
 
-from ..models.vae import AutoencoderKL
 from .ingest import conv_kernel, dense_kernel
 from .unet_weights import _set_path
 

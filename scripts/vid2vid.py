@@ -18,7 +18,6 @@ Differences by design:
 from __future__ import annotations
 
 import sys
-from dataclasses import dataclass
 from pathlib import Path
 from typing import Optional
 
@@ -176,6 +175,7 @@ def vid2vid(
                 use_face_enhancer=cfg.use_face_enhancer,
                 upscale_first=cfg.upscale_first,
                 model_path=cfg.upscaler_model_path,
+                face_enhancer_model_path=cfg.face_enhancer_model_path,
             )
         except FileNotFoundError:
             upscaler = None  # no local RealESRGAN weights: emit raw frames
