@@ -291,12 +291,28 @@ def vid2vid(
                 frames_written += 1
 
         if cfg.save_frames:
-            fdir = out_dir / "vid2vid_frames"
-            fdir.mkdir(exist_ok=True)
+            # output + input frame dumps and a config snapshot
+            # (reference: vid2vid.py:246-262 info.json + frame PNGs)
+            import dataclasses
+            import json
+
             from PIL import Image
 
+            fdir = out_dir / "vid2vid_frames"
+            fdir_in = out_dir / "vid2vid_input_frames"
+            fdir.mkdir(exist_ok=True)
+            fdir_in.mkdir(exist_ok=True)
+            info = out_dir / "info.json"
+            if not info.exists():
+                snap = dataclasses.asdict(cfg)
+                snap["seed"] = seed
+                info.write_text(json.dumps(snap, indent=2, default=str))
             for i, frame in enumerate(frames[:emit]):
                 Image.fromarray(frame).save(fdir / f"{frames_written - emit + i + 1:04d}.png")
+            for i, frame in enumerate(batch[:emit]):
+                Image.fromarray(np.asarray(frame, np.uint8)).save(
+                    fdir_in / f"{frames_written - emit + i + 1:04d}.png"
+                )
 
         state.epoch += 1
         windows_run += 1

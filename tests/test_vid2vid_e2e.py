@@ -217,3 +217,14 @@ def test_sharded_pipeline_on_virtual_mesh(eight_devices):
         frame_source=ArrayFrameSource(frames_in), frame_sink=sink,
     )
     assert summary["frames_written"] == 8
+
+
+def test_save_frames_and_info(tmp_path):
+    cfg = base_cfg(save_frames=True, output_video_dir=str(tmp_path))
+    pipe = tiny_pipeline(cfg)
+    frames_in = (np.random.RandomState(7).rand(4, 64, 64, 3) * 255).astype(np.uint8)
+    vid2vid(config=cfg, pipeline=pipe, frame_source=ArrayFrameSource(frames_in),
+            frame_sink=ArrayFrameSink())
+    assert (tmp_path / "info.json").exists()
+    assert len(list((tmp_path / "vid2vid_frames").glob("*.png"))) >= 2
+    assert len(list((tmp_path / "vid2vid_input_frames").glob("*.png"))) >= 2
