@@ -28,6 +28,14 @@ def run(frames: np.ndarray) -> np.ndarray:
         raise FileNotFoundError(
             f"depth annotator needs a local DPT/GLPN checkpoint at {model_dir}"
         )
+    # prefer the on-device Flax DPT when the checkpoint is the plain-ViT
+    # variant (golden-tested against transformers to 1e-4)
+    try:
+        from . import dpt
+
+        return dpt.run_flax(frames, model_dir)
+    except (FileNotFoundError, KeyError):
+        pass
     if "model" not in _CACHE:
         import torch
         from transformers import AutoImageProcessor, AutoModelForDepthEstimation

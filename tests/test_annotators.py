@@ -427,3 +427,35 @@ def test_face_net_forward_and_regions(tmp_path):
     subset[0, 14], subset[0, 15], subset[0, 16], subset[0, 17] = 14, 15, 16, 17
     regions = of.face_regions_from_body(candidate, subset, 128, 128)
     assert len(regions) == 1 and regions[0][2] > 20
+
+
+def test_dpt_depth_matches_transformers():
+    """Flax DPT port vs transformers DPTForDepthEstimation with identical
+    (random, tiny, bias-shifted) weights."""
+    import torch
+    import jax.numpy as jnp
+    transformers = pytest.importorskip("transformers")
+    from controlanimate_tpu.models.annotators.dpt import DPTDepth, dpt_params_from_torch
+
+    cfg = transformers.DPTConfig(
+        hidden_size=32, num_hidden_layers=4, num_attention_heads=2,
+        intermediate_size=64, image_size=64, patch_size=8,
+        backbone_out_indices=[0, 1, 2, 3],
+        neck_hidden_sizes=[16, 16, 32, 32], fusion_hidden_size=32,
+        readout_type="project", is_hybrid=False,
+    )
+    torch.manual_seed(0)
+    tm = transformers.DPTForDepthEstimation(cfg).eval()
+    with torch.no_grad():
+        for name, p in tm.named_parameters():
+            if name.endswith("bias"):
+                p += 0.05  # push signal through the ReLU head
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    model = DPTDepth(hidden_size=32, num_layers=4, heads=2, mlp_dim=64, patch=8,
+                     taps=(0, 1, 2, 3), neck_hidden=(16, 16, 32, 32), fusion_hidden=32)
+    params = dpt_params_from_torch(sd, 4, (0, 1, 2, 3))
+    x = np.random.RandomState(0).randn(1, 64, 64, 3).astype(np.float32) * 0.5
+    with torch.no_grad():
+        tout = tm(pixel_values=torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).predicted_depth.numpy()
+    fout = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(fout, tout, atol=5e-4, rtol=1e-3)
