@@ -1,0 +1,49 @@
+"""The four shipped run profiles must parse with zero unknown keys and map
+to the correct sampling setups (reference: configs/prompts/*.yaml)."""
+
+from pathlib import Path
+
+import pytest
+
+from controlanimate_tpu.config import ArchConfig, RunConfig
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+@pytest.mark.parametrize("name,expect", [
+    ("SampleConfig", dict(steps=30, scheduler="EulerDiscreteScheduler",
+                          use_lcm=False, n_controlnets=4, guidance=7.5)),
+    ("SampleConfigLCM", dict(steps=4, scheduler="LCMScheduler",
+                             use_lcm=True, n_controlnets=0, guidance=7.5)),
+    ("SampleConfigLCMLoRA", dict(steps=7, scheduler="LCMScheduler",
+                                 use_lcm=False, n_controlnets=4, guidance=1.1)),
+    ("SampleConfigIPAdapter", dict(steps=12, scheduler="LCMScheduler",
+                                   use_lcm=False, n_controlnets=4, guidance=1.35)),
+])
+def test_sample_profiles(name, expect):
+    cfg = RunConfig.from_yaml(ROOT / "configs" / "prompts" / f"{name}.yaml")
+    assert cfg.extras == {}, f"unknown keys: {list(cfg.extras)}"
+    assert cfg.steps == expect["steps"]
+    assert cfg.scheduler == expect["scheduler"]
+    assert cfg.use_lcm == expect["use_lcm"]
+    assert len(cfg.controlnets) == expect["n_controlnets"]
+    assert abs(cfg.guidance_scale - expect["guidance"]) < 1e-6
+    assert cfg.frame_count == 16 and cfg.overlap_length == 8
+
+
+def test_ipadapter_profile_flags():
+    cfg = RunConfig.from_yaml(ROOT / "configs/prompts/SampleConfigIPAdapter.yaml")
+    assert cfg.use_ipadapter and cfg.do_initial_generation and cfg.guess_mode
+
+
+@pytest.mark.parametrize("name,mid,maxlen,inflated", [
+    ("inference-v1", False, 24, False),
+    ("inference-v2", True, 32, True),
+])
+def test_inference_configs(name, mid, maxlen, inflated):
+    arch = ArchConfig.from_yaml(ROOT / "configs" / "inference" / f"{name}.yaml")
+    assert arch.motion_module_mid_block == mid
+    assert arch.motion_module.temporal_position_encoding_max_len == maxlen
+    assert arch.use_inflated_groupnorm == inflated
+    assert arch.beta_schedule == "linear"
+    assert abs(arch.beta_start - 0.00085) < 1e-9
