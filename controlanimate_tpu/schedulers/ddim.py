@@ -21,7 +21,10 @@ class DDIMScheduler(Scheduler):
         num_inference_steps: int,
         strength: float = 1.0,
         steps_offset: int = 1,
-        set_alpha_to_one: bool = False,
+        # diffusers DDIMScheduler defaults set_alpha_to_one=True and the
+        # reference passes only beta kwargs (modules/controlanimate_pipeline.py:65,
+        # configs/inference/inference-v2.yaml), so the final step uses alpha=1
+        set_alpha_to_one: bool = True,
         clip_sample: bool = False,
         prediction_type: str = "epsilon",
         eta: float = 0.0,

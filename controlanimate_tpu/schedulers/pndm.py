@@ -26,6 +26,8 @@ class PNDMScheduler(Scheduler):
         num_inference_steps: int,
         strength: float = 1.0,
         steps_offset: int = 1,
+        # diffusers PNDMScheduler defaults set_alpha_to_one=False (unlike
+        # DDIM); the reference passes only beta kwargs, so keep False
         set_alpha_to_one: bool = False,
         prediction_type: str = "epsilon",
     ):
@@ -38,14 +40,14 @@ class PNDMScheduler(Scheduler):
         base = (np.arange(0, S) * step_ratio).round().astype(np.int64) + steps_offset  # ascending
         # PLMS sequence: duplicate the second-highest timestep (warmup Heun step)
         plms = np.concatenate([base[:-1], base[-2:-1], base[-1:]])[::-1].copy()
-        # img2img truncation operates on the logical S steps; re-derive the
-        # plms sequence from the truncated ascending list.
+        # img2img truncation slices the ALREADY-BUILT PLMS sequence by
+        # t_start (reference get_timesteps slices scheduler.timesteps,
+        # controlanimation_pipeline.py:615-622) — at t_start>=2 this removes
+        # the warmup duplicate entirely; the counter-based warmup semantics
+        # (diffusers PNDMScheduler.step_plms counter==0/1 special cases)
+        # still apply to the first two sliced positions.
         if strength < 1.0:
-            kept = truncate_for_strength(base[::-1], S, strength)[::-1]  # ascending subset
-            if len(kept) >= 2:
-                plms = np.concatenate([kept[:-1], kept[-2:-1], kept[-1:]])[::-1].copy()
-            else:
-                plms = kept[::-1].copy()
+            plms = truncate_for_strength(plms, S, strength).copy()
         self.timesteps = plms
         n = len(plms)
         self.num_steps = n

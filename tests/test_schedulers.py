@@ -138,6 +138,32 @@ def test_pndm_has_warmup_iteration():
     assert sched.timesteps[1] == sched.timesteps[2]
 
 
+def test_pndm_strength_slices_built_plms_sequence():
+    """img2img PNDM slices the already-built PLMS sequence by t_start
+    (reference get_timesteps, controlanimation_pipeline.py:615-622) — at
+    t_start>=2 the warmup duplicate is gone and the sequence starts one
+    timestep higher than a re-derived warmup would."""
+    full = make_scheduler("PNDMScheduler", SCHED, 10)
+    part = make_scheduler("PNDMScheduler", SCHED, 10, strength=0.5)
+    assert list(part.timesteps) == list(full.timesteps[5:])
+    # duplicate removed: strictly decreasing
+    assert all(a > b for a, b in zip(part.timesteps, part.timesteps[1:]))
+
+
+def test_ddim_final_alpha_is_one():
+    """diffusers DDIM default set_alpha_to_one=True: the last step's previous
+    alpha-bar is exactly 1 (the reference registry passes no override)."""
+    sched = make_scheduler("DDIMScheduler", SCHED, 10)
+    assert float(sched._abar_prev[-1]) == 1.0
+    # PNDM keeps the diffusers default False: final alpha = alphas_cumprod[0]
+    pndm = make_scheduler("PNDMScheduler", SCHED, 10)
+    np.testing.assert_allclose(
+        float(pndm._sample_coeff[-1]),
+        float(np.sqrt(SCHED.alphas_cumprod[0] / SCHED.alphas_cumprod[1])),
+        rtol=1e-6,
+    )
+
+
 def test_euler_scale_model_input():
     sched = make_scheduler("EulerDiscreteScheduler", SCHED, 10)
     x = jnp.ones((1, 4, 2, 4, 4))
