@@ -36,6 +36,13 @@ CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
 CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
+def _ln(name: str) -> nn.LayerNorm:
+    """torch-parity LayerNorm: eps=1e-5 and exact (two-pass) variance —
+    flax's default fast variance (E[x^2]-E[x]^2) loses ~1e-4 on the
+    large-magnitude activations these projections produce."""
+    return nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, name=name)
+
+
 class ImageProjModel(nn.Module):
     """Linear projection of the global CLIP image embedding into
     `num_tokens` context tokens (reference: ip_adapter.py:30-47)."""
@@ -48,21 +55,23 @@ class ImageProjModel(nn.Module):
         B = image_embeds.shape[0]
         x = nn.Dense(self.num_tokens * self.cross_attention_dim, name="proj")(image_embeds)
         x = x.reshape(B, self.num_tokens, self.cross_attention_dim)
-        return nn.LayerNorm(name="norm")(x)
+        return _ln("norm")(x)
 
 
 class MLPProjModel(nn.Module):
-    """IP-Adapter-Full projection: GELU MLP + LayerNorm over pooled embeds
-    (reference: modules/ip_adapter.py:50-64)."""
+    """IP-Adapter-Full projection: token-wise GELU MLP + LayerNorm over the
+    penultimate CLIP hidden states (reference: modules/ip_adapter.py:50-64 —
+    torch Sequential(Linear, GELU, Linear, LayerNorm), applied to all 257
+    vision tokens by IPAdapterFull.get_image_embeds)."""
 
     cross_attention_dim: int = 768
 
     @nn.compact
     def __call__(self, image_embeds: jnp.ndarray) -> jnp.ndarray:
         h = nn.Dense(image_embeds.shape[-1], name="proj_0")(image_embeds)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # torch nn.GELU default is exact erf
         h = nn.Dense(self.cross_attention_dim, name="proj_2")(h)
-        h = nn.LayerNorm(name="norm")(h)
+        h = _ln("norm")(h)
         return h[:, None, :] if h.ndim == 2 else h
 
 
@@ -77,8 +86,8 @@ class PerceiverAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, latents: jnp.ndarray) -> jnp.ndarray:
         inner = self.dim_head * self.heads
-        x = nn.LayerNorm(name="norm1")(x)
-        latents = nn.LayerNorm(name="norm2")(latents)
+        x = _ln("norm1")(x)
+        latents = _ln("norm2")(latents)
         B, L, _ = latents.shape
         kv_input = jnp.concatenate([x, latents], axis=-2)
         q = nn.Dense(inner, use_bias=False, name="to_q")(latents)
@@ -124,13 +133,13 @@ class Resampler(nn.Module):
             latents = latents + PerceiverAttention(
                 self.dim, self.dim_head, self.heads, name=f"layers_{i}_attn"
             )(x, latents)
-            h = nn.LayerNorm(name=f"layers_{i}_ff_norm")(latents)
+            h = _ln(f"layers_{i}_ff_norm")(latents)
             h = nn.Dense(self.dim * self.ff_mult, use_bias=False, name=f"layers_{i}_ff_0")(h)
-            h = nn.gelu(h)
+            h = nn.gelu(h, approximate=False)  # torch nn.GELU default
             h = nn.Dense(self.dim, use_bias=False, name=f"layers_{i}_ff_2")(h)
             latents = latents + h
         out = nn.Dense(self.output_dim, name="proj_out")(latents)
-        return nn.LayerNorm(name="norm_out")(out)
+        return _ln("norm_out")(out)
 
 
 def preprocess_clip_image(frame: np.ndarray, size: int = 224) -> np.ndarray:
@@ -154,6 +163,7 @@ class IPAdapter:
         proj_params: Any,
         ip_sd: Optional[dict] = None,
         num_tokens: int = 4,
+        embed_source: str = "image_embeds",
     ):
         self.vision_model = vision_model
         self.vision_params = vision_params
@@ -161,7 +171,96 @@ class IPAdapter:
         self.proj_params = proj_params
         self.ip_sd = ip_sd or {}
         self.num_tokens = num_tokens
+        # which vision-tower output feeds the projection: the base adapter
+        # uses the projected global embedding, Plus/Full the penultimate
+        # hidden states (reference: ip_adapter.py:187-197 vs :370-380)
+        self.embed_source = embed_source
         self._embed_cache: dict = {}
+        self._uncond_cache: Optional[jnp.ndarray] = None
+
+    # --------------------------------------------------- checkpoint detection
+    @staticmethod
+    def build_projection(image_proj_sd: dict, vcfg: Optional[CLIPVisionConfig],
+                         cross_attention_dim: int = 768):
+        """Detect the checkpoint variant from its image_proj key layout and
+        build (module, params, num_tokens, embed_source).
+
+        Layouts (reference: modules/ip_adapter.py / modules/resampler.py):
+          base  ip-adapter_sd15:      proj.weight / norm.weight  (ImageProjModel)
+          plus  ip-adapter-plus_sd15: latents / proj_in / layers.* (Resampler)
+          full  ip-adapter-full-face: proj.0 / proj.2 / proj.3   (MLP Sequential)
+        """
+        sd = {k: np.asarray(v) for k, v in image_proj_sd.items()}
+        if "latents" in sd:  # -------------------------------------- Plus
+            latents = sd["latents"]
+            dim = int(latents.shape[-1])
+            num_queries = int(latents.shape[1])
+            depth = len({k.split(".")[1] for k in sd if k.startswith("layers.")})
+            # head count is not recoverable from the checkpoint alone; the
+            # reference always builds dim_head=64 (ip_adapter.py:356-365),
+            # so infer heads from the attention inner width
+            dim_head = 64
+            inner = int(sd["layers.0.0.to_q.weight"].shape[0])
+            model = Resampler(
+                dim=dim, depth=depth, dim_head=dim_head, heads=inner // dim_head,
+                num_queries=num_queries,
+                embedding_dim=int(sd["proj_in.weight"].shape[1]),
+                output_dim=int(sd["proj_out.weight"].shape[0]),
+            )
+            params: dict = {
+                "latents": latents,
+                "proj_in": {"kernel": dense_kernel(sd["proj_in.weight"]),
+                            "bias": sd["proj_in.bias"]},
+                "proj_out": {"kernel": dense_kernel(sd["proj_out.weight"]),
+                             "bias": sd["proj_out.bias"]},
+                "norm_out": {"scale": sd["norm_out.weight"], "bias": sd["norm_out.bias"]},
+            }
+            for i in range(depth):
+                a = f"layers.{i}.0"
+                params[f"layers_{i}_attn"] = {
+                    "norm1": {"scale": sd[f"{a}.norm1.weight"], "bias": sd[f"{a}.norm1.bias"]},
+                    "norm2": {"scale": sd[f"{a}.norm2.weight"], "bias": sd[f"{a}.norm2.bias"]},
+                    "to_q": {"kernel": dense_kernel(sd[f"{a}.to_q.weight"])},
+                    "to_kv": {"kernel": dense_kernel(sd[f"{a}.to_kv.weight"])},
+                    "to_out": {"kernel": dense_kernel(sd[f"{a}.to_out.weight"])},
+                }
+                f = f"layers.{i}.1"
+                params[f"layers_{i}_ff_norm"] = {
+                    "scale": sd[f"{f}.0.weight"], "bias": sd[f"{f}.0.bias"]}
+                params[f"layers_{i}_ff_0"] = {"kernel": dense_kernel(sd[f"{f}.1.weight"])}
+                params[f"layers_{i}_ff_2"] = {"kernel": dense_kernel(sd[f"{f}.3.weight"])}
+            return model, params, num_queries, "penultimate"
+
+        if "proj.0.weight" in sd:  # -------------------------------- Full
+            cross = int(sd["proj.2.weight"].shape[0])
+            model = MLPProjModel(cross_attention_dim=cross)
+            params = {
+                "proj_0": {"kernel": dense_kernel(sd["proj.0.weight"]),
+                           "bias": sd["proj.0.bias"]},
+                "proj_2": {"kernel": dense_kernel(sd["proj.2.weight"]),
+                           "bias": sd["proj.2.bias"]},
+                "norm": {"scale": sd["proj.3.weight"], "bias": sd["proj.3.bias"]},
+            }
+            if vcfg is None:
+                raise ValueError("IP-Adapter-Full needs the vision config to "
+                                 "determine its token count")
+            num_tokens = (vcfg.image_size // vcfg.patch_size) ** 2 + 1
+            return model, params, num_tokens, "penultimate"
+
+        if "proj.weight" in sd:  # ---------------------------------- base
+            num_tokens = int(sd["proj.weight"].shape[0]) // cross_attention_dim
+            model = ImageProjModel(cross_attention_dim=cross_attention_dim,
+                                   num_tokens=num_tokens)
+            params = {
+                "proj": {"kernel": dense_kernel(sd["proj.weight"]),
+                         "bias": sd["proj.bias"]},
+                "norm": {"scale": sd["norm.weight"], "bias": sd["norm.bias"]},
+            }
+            return model, params, num_tokens, "image_embeds"
+
+        raise ValueError(
+            f"unrecognized IP-Adapter image_proj layout: {sorted(sd)[:6]}..."
+        )
 
     @classmethod
     def from_config(cls, config) -> "IPAdapter":
@@ -185,18 +284,11 @@ class IPAdapter:
         _, v_sd = ingest.load_hf_component(enc_path, "")
         v_params = vision_params_from_torch(v_sd, vcfg.num_layers)
 
-        proj = ImageProjModel(num_tokens=4)
-        proj_params = {
-            "proj": {
-                "kernel": dense_kernel(image_proj_sd["proj.weight"]),
-                "bias": image_proj_sd["proj.bias"],
-            },
-            "norm": {
-                "scale": image_proj_sd["norm.weight"],
-                "bias": image_proj_sd["norm.bias"],
-            },
-        }
-        return cls(vm, v_params, proj, proj_params, ip_sd=ip_sd)
+        proj, proj_params, num_tokens, embed_source = cls.build_projection(
+            image_proj_sd, vcfg
+        )
+        return cls(vm, v_params, proj, proj_params, ip_sd=ip_sd,
+                   num_tokens=num_tokens, embed_source=embed_source)
 
     @classmethod
     def random_init(cls, clip_embed_dim: int = 16, cross_attention_dim: int = 768,
@@ -213,14 +305,26 @@ class IPAdapter:
 
     def embed_image(self, frame: np.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         """anchor frame uint8 (H, W, 3) -> (cond_tokens, uncond_tokens), each
-        (1, num_tokens, 768) (reference: get_image_embeds_4controlanimate,
-        ip_adapter.py:187-222: uncond = projection of zero embeds)."""
+        (1, num_tokens, 768).
+
+        base: uncond = projection of zero EMBEDS (reference ip_adapter.py:197);
+        plus/full: uncond = projection of the penultimate states of a zero
+        IMAGE (reference ip_adapter.py:377-380)."""
         if self.vision_model is None:
             raise RuntimeError("IPAdapter built without a vision tower")
         px = jnp.asarray(preprocess_clip_image(frame))
         out = self.vision_model.apply({"params": self.vision_params}, px)
-        cond = self.project(out["image_embeds"])
-        uncond = self.project(jnp.zeros_like(out["image_embeds"]))
+        if self.embed_source == "penultimate":
+            cond = self.project(out["penultimate_hidden_states"])
+            if self._uncond_cache is None:
+                zero_out = self.vision_model.apply(
+                    {"params": self.vision_params}, jnp.zeros_like(px)
+                )
+                self._uncond_cache = self.project(zero_out["penultimate_hidden_states"])
+            uncond = self._uncond_cache
+        else:
+            cond = self.project(out["image_embeds"])
+            uncond = self.project(jnp.zeros_like(out["image_embeds"]))
         return cond, uncond
 
     # -------------------------------------------------------- UNet injection

@@ -37,6 +37,172 @@ def test_resampler_shapes():
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
+def _torch_image_proj(cross=32, clip_dim=64, tokens=4):
+    """Reference ImageProjModel (modules/ip_adapter.py:30-47)."""
+    import torch
+
+    class M(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.proj = torch.nn.Linear(clip_dim, tokens * cross)
+            self.norm = torch.nn.LayerNorm(cross)
+
+        def forward(self, e):
+            return self.norm(self.proj(e).reshape(-1, tokens, cross))
+
+    return M()
+
+
+def _torch_mlp_proj(cross=32, clip_dim=64):
+    """Reference MLPProjModel (modules/ip_adapter.py:50-64): the LayerNorm
+    lives INSIDE the Sequential (key proj.3)."""
+    import torch
+
+    class M(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.proj = torch.nn.Sequential(
+                torch.nn.Linear(clip_dim, clip_dim),
+                torch.nn.GELU(),
+                torch.nn.Linear(clip_dim, cross),
+                torch.nn.LayerNorm(cross),
+            )
+
+        def forward(self, e):
+            return self.proj(e)
+
+    return M()
+
+
+def _torch_resampler(dim=64, depth=2, dim_head=16, heads=4, num_queries=8,
+                     embedding_dim=48, output_dim=32, ff_mult=4):
+    """Reference Resampler (modules/resampler.py:34-147) with its exact
+    state-dict key layout (layers.{i}.0 attention, layers.{i}.1 Sequential FF)."""
+    import math
+
+    import torch
+    import torch.nn as nn
+
+    class PerceiverAttention(nn.Module):
+        def __init__(self):
+            super().__init__()
+            inner = dim_head * heads
+            self.norm1 = nn.LayerNorm(dim)
+            self.norm2 = nn.LayerNorm(dim)
+            self.to_q = nn.Linear(dim, inner, bias=False)
+            self.to_kv = nn.Linear(dim, inner * 2, bias=False)
+            self.to_out = nn.Linear(inner, dim, bias=False)
+
+        def forward(self, x, latents):
+            x, latents = self.norm1(x), self.norm2(latents)
+            b, l, _ = latents.shape
+            q = self.to_q(latents)
+            k, v = self.to_kv(torch.cat([x, latents], dim=-2)).chunk(2, dim=-1)
+
+            def rs(t):
+                return t.view(b, t.shape[1], heads, -1).transpose(1, 2)
+
+            q, k, v = rs(q), rs(k), rs(v)
+            scale = 1 / math.sqrt(math.sqrt(dim_head))
+            w = (q * scale) @ (k * scale).transpose(-2, -1)
+            w = torch.softmax(w.float(), dim=-1).type(w.dtype)
+            out = (w @ v).permute(0, 2, 1, 3).reshape(b, l, -1)
+            return self.to_out(out)
+
+    class TorchResampler(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.latents = nn.Parameter(torch.randn(1, num_queries, dim) / dim**0.5)
+            self.proj_in = nn.Linear(embedding_dim, dim)
+            self.proj_out = nn.Linear(dim, output_dim)
+            self.norm_out = nn.LayerNorm(output_dim)
+            self.layers = nn.ModuleList(
+                nn.ModuleList([
+                    PerceiverAttention(),
+                    nn.Sequential(
+                        nn.LayerNorm(dim),
+                        nn.Linear(dim, dim * ff_mult, bias=False),
+                        nn.GELU(),
+                        nn.Linear(dim * ff_mult, dim, bias=False),
+                    ),
+                ])
+                for _ in range(depth)
+            )
+
+        def forward(self, x):
+            latents = self.latents.repeat(x.size(0), 1, 1)
+            x = self.proj_in(x)
+            for attn, ff in self.layers:
+                latents = attn(x, latents) + latents
+                latents = ff(latents) + latents
+            return self.norm_out(self.proj_out(latents))
+
+    return TorchResampler()
+
+
+def _sd_numpy(torch_module):
+    return {k: v.detach().numpy() for k, v in torch_module.state_dict().items()}
+
+
+def test_build_projection_base_golden():
+    import torch
+
+    torch.manual_seed(0)
+    tm = _torch_image_proj(cross=32, clip_dim=64, tokens=4)
+    model, params, num_tokens, source = IPAdapter.build_projection(
+        _sd_numpy(tm), None, cross_attention_dim=32
+    )
+    assert isinstance(model, ImageProjModel)
+    assert (num_tokens, source) == (4, "image_embeds")
+    x = np.random.RandomState(0).randn(2, 64).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_build_projection_full_golden():
+    import torch
+
+    torch.manual_seed(1)
+    tm = _torch_mlp_proj(cross=32, clip_dim=64)
+    from controlanimate_tpu.models.clip import CLIPVisionConfig
+
+    vcfg = CLIPVisionConfig(image_size=32, patch_size=8)
+    model, params, num_tokens, source = IPAdapter.build_projection(
+        _sd_numpy(tm), vcfg, cross_attention_dim=32
+    )
+    assert isinstance(model, MLPProjModel)
+    assert num_tokens == (32 // 8) ** 2 + 1  # all vision tokens incl. CLS
+    assert source == "penultimate"
+    x = np.random.RandomState(1).randn(2, 17, 64).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_build_projection_plus_golden():
+    import torch
+
+    torch.manual_seed(2)
+    # dim_head is fixed at 64 by the reference variants, so the oracle must
+    # use it too (heads are inferred from the inner width: 128//64 = 2)
+    tm = _torch_resampler(dim=128, depth=2, dim_head=64, heads=2, num_queries=8,
+                          embedding_dim=48, output_dim=32)
+    model, params, num_tokens, source = IPAdapter.build_projection(
+        _sd_numpy(tm), None, cross_attention_dim=32
+    )
+    assert isinstance(model, Resampler)
+    assert (num_tokens, source) == (8, "penultimate")
+    assert (model.depth, model.heads, model.dim_head) == (2, 2, 64)
+    x = np.random.RandomState(2).randn(2, 10, 48).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
 def test_kv_injection_structural():
     """K/V weights land in every attn2 by structural path, in checkpoint
     order (replaces the reference's regex renumbering,
