@@ -1,12 +1,13 @@
 """Surface-normal annotator.
 
 The reference uses NormalBaeDetector (EfficientNet-B5 + NNET decoder,
-reference: modules/controlresiduals_pipeline.py:56-62). The full NNET port
-is tracked for a later round; until then two paths exist:
+reference: modules/controlresiduals_pipeline.py:56-62). The real Flax NNET
+port lives in normalbae_net.py and runs whenever a scannet.pt checkpoint is
+present; weights-absent fallbacks (in order):
   * depth-derived normals when a local depth model is available (finite
     differences of the depth map — geometrically meaningful), else
   * luminance-gradient pseudo-normals (documented approximation).
-Both emit the NormalBae RGB encoding (xyz -> [0,1]).
+All paths emit the NormalBae RGB encoding (xyz -> [0,1]).
 """
 
 from __future__ import annotations
@@ -25,6 +26,12 @@ def _normals_from_height(height: np.ndarray, strength: float = 4.0) -> np.ndarra
 
 
 def run(frames: np.ndarray) -> np.ndarray:
+    try:
+        from . import normalbae_net
+
+        return normalbae_net.run(frames)
+    except FileNotFoundError:
+        pass
     try:
         from . import depth
 
