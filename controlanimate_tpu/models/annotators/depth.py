@@ -5,10 +5,10 @@ reference: modules/controlresiduals_pipeline.py:63; note its depth branch is
 buggy — it feeds the raw image instead of the depth map to the ControlNet,
 :140-145. This implementation feeds the actual depth map.)
 
-Runs a local DPT/GLPN depth model through transformers on host CPU when a
-checkpoint directory is present (CONTROLANIMATE_DEPTH_MODEL or
-models/annotators/depth). A Flax port is tracked for a later round; depth
-runs once per window, off the hot path.
+Flax-first: plain-ViT DPT (dpt.py) and DPT-hybrid (dpt_hybrid.py) both run
+on device from a local checkpoint directory (CONTROLANIMATE_DEPTH_MODEL or
+models/annotators/depth); only unrecognized layouts (e.g. GLPN) fall back to
+host torch via transformers.
 """
 
 from __future__ import annotations
@@ -28,12 +28,18 @@ def run(frames: np.ndarray) -> np.ndarray:
         raise FileNotFoundError(
             f"depth annotator needs a local DPT/GLPN checkpoint at {model_dir}"
         )
-    # prefer the on-device Flax DPT when the checkpoint is the plain-ViT
-    # variant (golden-tested against transformers to 1e-4)
+    # prefer the on-device Flax ports (plain-ViT and hybrid DPT, both
+    # golden-tested against transformers)
     try:
         from . import dpt
 
         return dpt.run_flax(frames, model_dir)
+    except (FileNotFoundError, KeyError):
+        pass
+    try:
+        from . import dpt_hybrid
+
+        return dpt_hybrid.run_flax(frames, model_dir)
     except (FileNotFoundError, KeyError):
         pass
     if "model" not in _CACHE:

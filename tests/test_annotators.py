@@ -429,6 +429,52 @@ def test_face_net_forward_and_regions(tmp_path):
     assert len(regions) == 1 and regions[0][2] > 20
 
 
+def test_dpt_hybrid_matches_transformers():
+    """Flax DPT-hybrid (BiT backbone + hybrid neck) vs transformers
+    DPTForDepthEstimation(is_hybrid=True) with identical tiny weights."""
+    import torch
+    import jax.numpy as jnp
+    transformers = pytest.importorskip("transformers")
+    from transformers import BitConfig, DPTConfig
+
+    from controlanimate_tpu.models.annotators.dpt_hybrid import (
+        dpt_hybrid_params_from_torch,
+        model_from_config,
+    )
+
+    bit = BitConfig(
+        embedding_size=8, hidden_sizes=[16, 24, 32], depths=[1, 1, 1],
+        num_groups=4, layer_type="bottleneck", global_padding="SAME",
+        out_features=["stage1", "stage2", "stage3"], embedding_dynamic_padding=True,
+    )
+    cfg = DPTConfig(
+        is_hybrid=True, backbone_config=bit, hidden_size=32, num_hidden_layers=4,
+        num_attention_heads=2, intermediate_size=64, image_size=64, patch_size=16,
+        backbone_out_indices=[0, 1, 2, 3], neck_hidden_sizes=[16, 24, 32, 32],
+        reassemble_factors=[1, 1, 1, 0.5], fusion_hidden_size=32,
+        readout_type="project", backbone_featmap_shape=[1, 32, 4, 4],
+        neck_ignore_stages=[0, 1],
+    )
+    torch.manual_seed(0)
+    tm = transformers.DPTForDepthEstimation(cfg).eval()
+    with torch.no_grad():
+        for name, p in tm.named_parameters():
+            if name.endswith("bias"):
+                p += 0.05  # push signal through the ReLU head
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+
+    cfg_json = cfg.to_dict()
+    model = model_from_config(cfg_json)
+    params = dpt_hybrid_params_from_torch(sd, cfg_json)
+
+    x = np.random.RandomState(0).randn(1, 64, 64, 3).astype(np.float32) * 0.5
+    with torch.no_grad():
+        tout = tm(pixel_values=torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).predicted_depth.numpy()
+    fout = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    assert fout.shape == tout.shape == (1, 64, 64)
+    np.testing.assert_allclose(fout, tout, atol=5e-4, rtol=1e-3)
+
+
 def test_dpt_depth_matches_transformers():
     """Flax DPT port vs transformers DPTForDepthEstimation with identical
     (random, tiny, bias-shifted) weights."""
