@@ -169,6 +169,10 @@ class RunConfig:
     # window geometry
     frame_count: int = 16
     overlap_length: int = 8
+    # txt2vid length: total frames to generate when there is no input video
+    # (reference: scripts/vid2vid.py:50-52,168 `while frame_count <= total_frames`);
+    # 0 = one window
+    total_frames: int = 0
 
     # sampling
     seed: int = -1
@@ -198,7 +202,16 @@ class RunConfig:
     dtype: str = "bfloat16"
     mesh_shape: tuple[int, ...] = ()
     mesh_axes: tuple[str, ...] = ("data", "context")
-    use_pallas_attention: bool = True
+    # XLA's fused attention measured ~12% faster than the Pallas kernel on
+    # v5e (see ops/attention.py); enable Pallas for fast cold starts on
+    # remote-compile paths (it compiles ~700x faster through the tunnel)
+    use_pallas_attention: bool = False
+    # read + annotate window N+1 on a host thread while window N occupies
+    # the device (SURVEY §7 hard-part 6; the reference blocks serially)
+    overlap_host_work: bool = True
+    # GIL-free C++ ring-buffer pipe for ffmpeg framing (runtime/framepipe.cpp);
+    # falls back to the Python-threaded pipe when the toolchain is missing
+    use_native_framepipe: bool = True
 
     # extras bag for forward-compat keys
     extras: dict = field(default_factory=dict, hash=False, compare=False)
@@ -223,6 +236,7 @@ class RunConfig:
             "save_frames", "use_lcm", "use_img2img", "guess_mode",
             "loop_back_frames", "use_ipadapter", "do_initial_generation",
             "use_face_enhancer", "upscale_first", "use_pallas_attention",
+            "overlap_host_work", "use_native_framepipe", "resume",
         }
         tuple_keys = {
             "lora_model_paths", "lora_weights", "controlnets", "cond_scale",

@@ -80,10 +80,15 @@ class WindowStatic:
     has_input_frames: bool = False
     has_last_output_frames: bool = False
     ipa_scale: float = 1.0
+    # trailing IP-Adapter image tokens appended to the text embeds; the UNet
+    # consumes them via its dual-stream attn2, ControlNets must NOT see them
+    ip_tokens: int = 0
     # window geometry for pure txt2vid (no input frames to infer from)
     frame_count: int = 16
     height: int = 512
     width: int = 512
+    # quantize decoded frames to uint8 on device (4x smaller readback)
+    output_uint8: bool = False
 
     @property
     def do_cfg(self) -> bool:
@@ -123,19 +128,30 @@ class AnimationEngine:
 
         vae_params is an explicit argument: closing over it would bake the
         weights into the HLO as constants (oversized compile payloads on
-        remote-compile TPU paths)."""
+        remote-compile TPU paths).
+
+        uint8 input is accepted and normalized on device — callers transfer
+        raw frames (4x less host->device traffic than f32)."""
+        if frames.dtype == jnp.uint8:
+            frames = frames.astype(jnp.float32) / 127.5 - 1.0
         B, F, H, W, C = frames.shape
         flat = frames.reshape(B * F, H, W, C)
         z = self.m.vae.apply({"params": vae_params}, flat, key, method=AutoencoderKL.encode)
         return z.reshape(B, F, *z.shape[1:])
 
-    def _decode_latents(self, vae_params, latents: jnp.ndarray) -> jnp.ndarray:
-        """(B, F, h, w, 4) -> (B, F, H, W, 3) in [0,1]
-        (reference decode_latents :501-514, without the frame loop)."""
+    def _decode_latents(
+        self, vae_params, latents: jnp.ndarray, to_uint8: bool = False
+    ) -> jnp.ndarray:
+        """(B, F, h, w, 4) -> (B, F, H, W, 3) in [0,1] (or uint8 [0,255] when
+        to_uint8 — quantization on device keeps the device->host readback at
+        1/4 the bytes) (reference decode_latents :501-514, without the frame
+        loop)."""
         B, F = latents.shape[:2]
         flat = latents.reshape(B * F, *latents.shape[2:])
         img = self.m.vae.apply({"params": vae_params}, flat, method=AutoencoderKL.decode)
         img = (img / 2 + 0.5).clip(0.0, 1.0)
+        if to_uint8:
+            img = (img.astype(jnp.float32) * 255.0 + 0.5).astype(jnp.uint8)
         return img.reshape(B, F, *img.shape[1:])
 
     # -- latent preparation --------------------------------------------------
@@ -213,11 +229,11 @@ class AnimationEngine:
         self._window_cache[key_] = fn
         return fn
 
-    def _make_decode_fn(self) -> Callable:
-        key_ = "decode"
+    def _make_decode_fn(self, to_uint8: bool = False) -> Callable:
+        key_ = ("decode", to_uint8)
         if key_ in self._window_cache:
             return self._window_cache[key_]
-        fn = jax.jit(self._decode_latents)
+        fn = jax.jit(lambda vp, lat: self._decode_latents(vp, lat, to_uint8))
         self._window_cache[key_] = fn
         return fn
 
@@ -239,6 +255,12 @@ class AnimationEngine:
         ):
             B = latents.shape[0]
 
+            # condition maps may arrive as uint8 (lean host->device transfer)
+            cond_images = tuple(
+                c.astype(jnp.float32) / 255.0 if c.dtype == jnp.uint8 else c
+                for c in cond_images
+            )
+
             # LCM guidance embedding (reference :768-771)
             w_emb = None
             if st.use_lcm:
@@ -253,8 +275,12 @@ class AnimationEngine:
             else:
                 cond_half = text_embeds
             cn_text = cond_half if cn_uses_cond_only else text_embeds
-            # ControlNets never see IP image tokens (reference CNAttnProcessor
-            # truncates them, attention_processor.py:496-559)
+            if st.ip_tokens:
+                # ControlNets are text-only: strip the trailing IP image
+                # tokens (reference CNAttnProcessor end_pos truncation,
+                # modules/attention_processor.py:529-532, installed at
+                # modules/ip_adapter.py:120-134)
+                cn_text = cn_text[:, : cn_text.shape[1] - st.ip_tokens]
 
             cn_cond_images = cond_images
             if not cn_uses_cond_only and n_cn:
@@ -350,7 +376,7 @@ class AnimationEngine:
             )
         prepare = self._make_prepare_fn(st, sched)
         denoise = self._make_denoise_fn(st, sched)
-        decode = self._make_decode_fn()
+        decode = self._make_decode_fn(st.output_uint8)
 
         def run(unet_params, cn_params, text_embeds, cond_images,
                 input_frames, last_output_frames, key):

@@ -14,6 +14,7 @@ work happens inside the AnimationEngine's jitted window programs.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Any, Optional
@@ -65,7 +66,7 @@ class ControlAnimatePipeline:
         models: Optional[EngineModels] = None,
         text_stack: Optional[TextStack] = None,
         ip_adapter: Optional[Any] = None,
-        dtype: jnp.dtype = jnp.float32,
+        dtype: Optional[jnp.dtype] = None,
     ):
         self.config = config
         self.arch = (
@@ -73,8 +74,34 @@ class ControlAnimatePipeline:
             if Path(config.inference_config_path).exists()
             else ArchConfig()
         )
+        # execution dtype comes from RunConfig (the TPU analog of the
+        # reference's .half() policy, modules/controlanimate_pipeline.py:108-110);
+        # float16 maps to bfloat16 — fp16 has no TPU fast path
+        if dtype is None:
+            dtype = {
+                "float32": jnp.float32, "fp32": jnp.float32,
+                "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+                "float16": jnp.bfloat16, "fp16": jnp.bfloat16,
+            }.get(str(config.dtype).lower())
+            if dtype is None:
+                raise ValueError(f"unknown RunConfig.dtype {config.dtype!r}")
         self.dtype = dtype
+        # attention backend policy (the env var, when set, wins for ad-hoc
+        # experiments; otherwise the config decides)
+        if "CONTROLANIMATE_PALLAS_ATTENTION" not in os.environ:
+            from ..ops.attention import set_pallas_enabled
+
+            set_pallas_enabled(config.use_pallas_attention)
         self.ip_adapter = ip_adapter
+        # build the adapter BEFORE the UNet: the checkpoint layout decides
+        # num_tokens (base=4, plus=16, full=257) and the UNet's dual-stream
+        # attn2 width must match (reference: ip_adapter.py:288-482 variants)
+        built_adapter = False
+        if config.use_ipadapter and self.ip_adapter is None:
+            from .ip_adapter import IPAdapter
+
+            self.ip_adapter = IPAdapter.from_config(config)
+            built_adapter = True
         if models is not None and text_stack is not None:
             self.models = models
             self.text = text_stack
@@ -88,6 +115,7 @@ class ControlAnimatePipeline:
         )
         self.engine = AnimationEngine(self.models, schedule)
         self._prompt_cache: dict = {}
+        self._cn_dump_root: Optional[Path] = None
 
         # optional multi-chip mesh (new vs reference's hardcoded single GPU):
         # params replicate, video tensors shard data x context (SURVEY §5.8)
@@ -101,10 +129,7 @@ class ControlAnimatePipeline:
             self.models.controlnet_params = [
                 shard_params(self.mesh, p) for p in self.models.controlnet_params
             ]
-        if config.use_ipadapter and self.ip_adapter is None:
-            from .ip_adapter import IPAdapter
-
-            self.ip_adapter = IPAdapter.from_config(config)
+        if built_adapter:
             # write the checkpoint's to_k_ip/to_v_ip into every cross-attn
             # (reference does this with a regex index remap,
             # ip_adapter.py:136-185; here addressing is structural)
@@ -190,7 +215,7 @@ class ControlAnimatePipeline:
                         motion_sd, ingest.load_state_dict(mp), scale=float(ma)
                     )
 
-        ip_tokens = 4 if cfg.use_ipadapter else 0
+        ip_tokens = self.ip_adapter.num_tokens if self.ip_adapter is not None else 0
         # LCM uses the same inflated architecture + motion modules; only the
         # base 2D weights come from the LCM snapshot (reference:
         # controlanimate_pipeline.py:44-45 passes unet_additional_kwargs in
@@ -236,6 +261,27 @@ class ControlAnimatePipeline:
             kw["timestep_cond"] = jnp.zeros((1, ucfg.time_cond_proj_dim))
         return unet.init(jax.random.PRNGKey(0), x, jnp.asarray([1]), ctx, **kw)["params"]
 
+    # ------------------------------------------------------------ debug dumps
+    def _dump_condition_maps(self, net_name: str, maps: np.ndarray, epoch: int) -> None:
+        """Per-epoch annotator-output dumps, the reference's main debugging
+        artifact (reference: modules/controlresiduals_pipeline.py:239,249-259
+        saves each condition map under controlnet_outputs_<ts>/<net>/)."""
+        import time as _time
+
+        from PIL import Image
+
+        if self._cn_dump_root is None:
+            self._cn_dump_root = (
+                Path(self.config.output_video_dir)
+                / f"controlnet_outputs_{_time.strftime('%Y%m%d-%H%M%S')}"
+            )
+        d = self._cn_dump_root / net_name.split("/")[-1]
+        d.mkdir(parents=True, exist_ok=True)
+        for i, m in enumerate(np.asarray(maps)):
+            Image.fromarray((m * 255.0 + 0.5).astype(np.uint8)).save(
+                d / f"{epoch:04d}_{i:02d}.png"
+            )
+
     # --------------------------------------------------------------- prompts
     def _encode_prompts(self, prompt: str, n_prompt: str, clip_skip: int = 0):
         key = (prompt, n_prompt, clip_skip)
@@ -245,10 +291,46 @@ class ControlAnimatePipeline:
             self._prompt_cache[key] = (pos, neg)
         return self._prompt_cache[key]
 
+    # ----------------------------------------------------- condition staging
+    def prepare_cond_images(
+        self, input_frames: Optional[np.ndarray], epoch: int = 0
+    ) -> list:
+        """Annotate + stage ControlNet condition maps for a window.
+
+        Pure host+transfer work, exposed separately so the orchestrator can
+        run it for window N+1 while window N occupies the device
+        (SURVEY §7 hard-part 6; the reference does this serially inside the
+        window call, controlresiduals_pipeline.py:226-273)."""
+        cfg = self.config
+        cond_images = []
+        if self.models.controlnets and input_frames is not None:
+            from ..models.annotators import annotate_frames
+
+            for name in cfg.controlnets:
+                maps = annotate_frames(name, input_frames)  # (F, H, W, 3) [0,1]
+                if cfg.save_frames:
+                    self._dump_condition_maps(name, maps, epoch)
+                # quantize to uint8 for transfer (the reference feeds
+                # uint8-derived PIL maps anyway); normalized on device
+                cond_images.append(
+                    jnp.asarray((np.asarray(maps) * 255.0 + 0.5).astype(np.uint8))[None]
+                )
+        return cond_images
+
     # --------------------------------------------------------------- animate
     def animate(
         self,
-        input_frames: Optional[np.ndarray],  # (F, H, W, 3) uint8 or None
+        input_frames: Optional[np.ndarray],
+        last_output_frames: Optional[np.ndarray],
+        **kw,
+    ) -> np.ndarray:
+        """Generate one window; returns (F, H, W, 3) uint8 HOST frames
+        (blocking readback). See animate_async for the pipelined form."""
+        return np.asarray(self.animate_async(input_frames, last_output_frames, **kw))
+
+    def animate_async(
+        self,
+        input_frames: Optional[np.ndarray],  # (F, H, W, 3) uint8, device ok
         last_output_frames: Optional[np.ndarray],  # (K, H, W, 3) uint8 or None
         *,
         overlaps: int = 0,
@@ -256,8 +338,13 @@ class ControlAnimatePipeline:
         seed: int = 0,
         epoch: int = 0,
         frame_count: Optional[int] = None,
-    ) -> np.ndarray:
-        """Generate one window; returns (F, H, W, 3) uint8 frames.
+        cond_images: Optional[list] = None,  # pre-staged by prepare_cond_images
+    ) -> jnp.ndarray:
+        """Generate one window; returns the (F, H, W, 3) uint8 frames as a
+        DEVICE array without forcing a host readback — callers can overlap
+        the device->host fetch of window N with window N+1's compute
+        (SURVEY §7 hard-part 6; the reference blocks on a full PIL round
+        trip per window).
 
         Mirrors reference ControlAnimatePipeline.animate
         (modules/controlanimate_pipeline.py:124-169) + the engine __call__.
@@ -291,31 +378,33 @@ class ControlAnimatePipeline:
             has_input_frames=input_frames is not None,
             has_last_output_frames=last_output_frames is not None,
             ipa_scale=float(ipa_scale),
+            ip_tokens=self.ip_adapter.num_tokens if self.ip_adapter is not None else 0,
             frame_count=frame_count or cfg.frame_count,
             height=cfg.height,
             width=cfg.width,
+            output_uint8=True,
         )
 
         do_cfg = st.do_cfg
         text_embeds = jnp.concatenate([neg, pos], axis=0) if do_cfg else pos
 
-        # condition images per ControlNet (host annotators, batched)
-        cond_images = []
-        if self.models.controlnets and input_frames is not None:
-            from ..models.annotators import annotate_frames
+        # condition images per ControlNet (host annotators, batched), unless
+        # the orchestrator pre-staged them during the previous window
+        if cond_images is None:
+            cond_images = self.prepare_cond_images(input_frames, epoch)
 
-            for name in cfg.controlnets:
-                maps = annotate_frames(name, input_frames)  # (F, H, W, 3) [0,1]
-                cond_images.append(jnp.asarray(maps, jnp.float32)[None])
-
-        def to_float(frames):
+        def to_device(frames):
+            # raw uint8 across the host->device boundary (4x less traffic);
+            # the engine normalizes to [-1,1] on device. Already-staged
+            # device arrays pass through (double-buffered callers).
             if frames is None:
                 return None
-            arr = np.asarray(frames, np.float32) / 255.0 * 2.0 - 1.0
-            return jnp.asarray(arr)[None]  # add batch axis
+            if isinstance(frames, jnp.ndarray):
+                return frames if frames.ndim == 5 else frames[None]
+            return jnp.asarray(np.asarray(frames, np.uint8))[None]  # add batch axis
 
-        input_dev = to_float(input_frames)
-        last_dev = to_float(last_output_frames)
+        input_dev = to_device(input_frames)
+        last_dev = to_device(last_output_frames)
         if self.mesh is not None:
             from ..parallel.mesh import shard_window_inputs
 
@@ -337,5 +426,4 @@ class ControlAnimatePipeline:
             input_frames=input_dev,
             last_output_frames=last_dev,
         )
-        frames = np.asarray(out[0])  # (F, H, W, 3) in [0,1]
-        return (frames * 255.0 + 0.5).astype(np.uint8)
+        return np.asarray(out[0])  # (F, H, W, 3) uint8 (quantized on device)

@@ -171,6 +171,133 @@ def test_window_fn_cached(engine):
     assert f1 is f2
 
 
+class _SpyControlNet:
+    """Wraps a ControlNetModel, recording the context length it receives."""
+
+    def __init__(self, cn):
+        self._cn = cn
+        self.ctx_lens: list[int] = []
+
+    def apply(self, variables, sample, t, ctx, cond, **kw):
+        self.ctx_lens.append(ctx.shape[1])
+        return self._cn.apply(variables, sample, t, ctx, cond, **kw)
+
+
+def _ip_engine(engine, ip_tokens: int, ucfg=None):
+    """Engine whose UNet has dual-stream attn2 (ip_tokens) sharing base
+    weights with the module-fixture UNet (same init key + param paths)."""
+    ucfg = ucfg or UNet3DConfig(**{**UCFG.__dict__, "ip_tokens": ip_tokens})
+    unet = UNet3DConditionModel(ucfg)
+    ctx = jnp.zeros((1, 7 + ip_tokens, 16))
+    params = unet.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, 4, 4, 4)), jnp.asarray([1]), ctx
+    )["params"]
+    return AnimationEngine(
+        EngineModels(
+            unet=unet, unet_params=params,
+            vae=engine.m.vae, vae_params=engine.m.vae_params,
+            controlnets=engine.m.controlnets,
+            controlnet_params=engine.m.controlnet_params,
+            cond_scales=[1.0],
+        ),
+        engine.schedule,
+    )
+
+
+def test_controlnet_context_is_text_only_under_ip(engine):
+    """BUG REGRESSION (VERDICT r1 #1): with IP-Adapter tokens appended, every
+    ControlNet must receive the TEXT-ONLY context (reference CNAttnProcessor
+    truncation, modules/attention_processor.py:529-532)."""
+    ip = 4
+    eng = _ip_engine(engine, ip)
+    spy = _SpyControlNet(engine.m.controlnets[0])
+    eng.m.controlnets = [spy]
+
+    st = WindowStatic(
+        scheduler_name="EulerDiscreteScheduler", steps=2, guidance_scale=7.5,
+        guess_mode=True, strength=0.9, ipa_scale=0.5, ip_tokens=ip,
+    )
+    frames = jax.random.uniform(jax.random.PRNGKey(1), (1, 2, 32, 32, 3)) * 2 - 1
+    cond = jax.random.uniform(jax.random.PRNGKey(2), (1, 2, 32, 32, 3))
+    text = _embeds(1, L=7 + ip, cfg=True)  # 7 text + 4 image tokens
+    out = eng.generate_window(
+        st, text, jax.random.PRNGKey(0), cond_images=[cond], input_frames=frames
+    )
+    assert out.shape == (1, 2, 32, 32, 3)
+    assert spy.ctx_lens and all(n == 7 for n in spy.ctx_lens), spy.ctx_lens
+
+
+def test_ip_scale_zero_equals_text_only_path(engine):
+    """With ipa_scale=0 the IP+ControlNet window must equal the text-only
+    window bit-for-bit: the UNet's dual-stream branch contributes zero and
+    ControlNets see identical (truncated) context. Fails without the
+    cn_text truncation (the ControlNet K/V would span 11 tokens)."""
+    ip = 4
+    eng_ip = _ip_engine(engine, ip)
+    # text-only twin with the SAME init key: flax derives per-param RNG from
+    # the param path, so all shared paths (everything except to_k_ip/to_v_ip)
+    # get identical weights
+
+    unet_base = UNet3DConditionModel(UCFG)
+    base_params = unet_base.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, 4, 4, 4)), jnp.asarray([1]),
+        jnp.zeros((1, 7, 16)),
+    )["params"]
+    eng_base = AnimationEngine(
+        EngineModels(
+            unet=unet_base, unet_params=base_params,
+            vae=engine.m.vae, vae_params=engine.m.vae_params,
+            controlnets=engine.m.controlnets,
+            controlnet_params=engine.m.controlnet_params,
+            cond_scales=[1.0],
+        ),
+        engine.schedule,
+    )
+
+    frames = jax.random.uniform(jax.random.PRNGKey(1), (1, 2, 32, 32, 3)) * 2 - 1
+    cond = jax.random.uniform(jax.random.PRNGKey(2), (1, 2, 32, 32, 3))
+    text = _embeds(1, L=7, cfg=True)
+    zeros_ip = jnp.zeros((text.shape[0], ip, text.shape[-1]))
+    text_ip = jnp.concatenate([text, zeros_ip], axis=1)
+
+    st_base = WindowStatic(
+        scheduler_name="EulerDiscreteScheduler", steps=2, guidance_scale=7.5,
+        strength=0.9,
+    )
+    st_ip = WindowStatic(**{**st_base.__dict__, "ipa_scale": 0.0, "ip_tokens": ip})
+
+    out_base = eng_base.generate_window(
+        st_base, text, jax.random.PRNGKey(0), cond_images=[cond], input_frames=frames
+    )
+    out_ip = eng_ip.generate_window(
+        st_ip, text_ip, jax.random.PRNGKey(0), cond_images=[cond], input_frames=frames
+    )
+    np.testing.assert_allclose(np.asarray(out_ip), np.asarray(out_base), atol=1e-5)
+
+
+def test_plus_variant_window_num_tokens_16(engine):
+    """IP-Adapter-Plus geometry (16 image tokens) through a full window with
+    a ControlNet: UNet consumes 7+16 tokens, ControlNet must still see 7
+    (reference: ip_adapter.py:352-365 Resampler num_queries=16)."""
+    ip = 16
+    eng = _ip_engine(engine, ip)
+    spy = _SpyControlNet(engine.m.controlnets[0])
+    eng.m.controlnets = [spy]
+    st = WindowStatic(
+        scheduler_name="EulerDiscreteScheduler", steps=2, guidance_scale=7.5,
+        strength=0.9, ipa_scale=0.4, ip_tokens=ip,
+    )
+    frames = jax.random.uniform(jax.random.PRNGKey(1), (1, 2, 32, 32, 3)) * 2 - 1
+    cond = jax.random.uniform(jax.random.PRNGKey(2), (1, 2, 32, 32, 3))
+    out = eng.generate_window(
+        st, _embeds(1, L=7 + ip, cfg=True), jax.random.PRNGKey(0),
+        cond_images=[cond], input_frames=frames,
+    )
+    assert out.shape == (1, 2, 32, 32, 3)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    assert spy.ctx_lens and all(n == 7 for n in spy.ctx_lens)
+
+
 def test_guess_mode_cfg_controlnet(engine):
     """Guess mode + CFG: ControlNet runs on the cond-only half and its
     residuals apply to BOTH CFG branches (the reference relies on B=1 torch
