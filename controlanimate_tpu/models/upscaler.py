@@ -158,6 +158,20 @@ class Upscaler:
             ])
         return out
 
+    def process_batch(self, frames: np.ndarray) -> np.ndarray:
+        """Whole-window path: the RRDB upscale always runs as ONE jitted
+        batch; the face enhancer (when present) runs per frame around it
+        (the reference upscales frame-at-a-time either way,
+        modules/upscaler.py:63-74)."""
+        frames = np.asarray(frames, np.uint8)
+        if self.face_enhancer is None:
+            return self.upscale_batch(frames)
+        if self.upscale_first:
+            up = self.upscale_batch(frames)
+            return np.stack([self.face_enhancer(f) for f in up])
+        enhanced = np.stack([self.face_enhancer(f) for f in frames])
+        return self.upscale_batch(enhanced)
+
     def __call__(self, frame: np.ndarray) -> np.ndarray:
         """upscale_first ordering per config (reference documents the option
         but force-overwrites it to False, upscaler.py:23 — honored here)."""

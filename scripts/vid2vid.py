@@ -80,13 +80,14 @@ def _round64(x: int) -> int:
 
 def _upscale_frames(frames, upscaler, upscale: float, out_w: int, out_h: int):
     """Batch-upscale emitted frames (the reference upscales one frame at a
-    time on GPU, vid2vid.py:239-244)."""
+    time on GPU, vid2vid.py:239-244); with a face enhancer the RRDB pass
+    still runs as one jitted batch (Upscaler.process_batch)."""
     frames = np.asarray(frames, np.uint8)
     if len(frames) == 0:
         return []
     if upscaler is not None:
-        if hasattr(upscaler, "upscale_batch") and not getattr(upscaler, "face_enhancer", None):
-            return list(upscaler.upscale_batch(frames))
+        if hasattr(upscaler, "process_batch"):
+            return list(upscaler.process_batch(frames))
         return [upscaler(f) for f in frames]
     if upscale > 1.0:
         import cv2
@@ -131,11 +132,28 @@ def vid2vid(
     own_source = frame_source is None
     if frame_source is None and has_input:
         if media.ffmpeg_available(cfg.ffmpeg_path):
-            frame_source = media.FFMPEGFrameSource(
-                cfg.input_video_path, width, height, cfg.fps,
-                start_time=cfg.start_time, end_time=cfg.end_time,
-                ffmpeg_path=cfg.ffmpeg_path,
-            )
+            if cfg.use_native_framepipe:
+                # GIL-free C++ ring-buffer pipe (runtime/framepipe.cpp);
+                # silently falls back when the toolchain is unavailable
+                try:
+                    from controlanimate_tpu.io import native
+
+                    frame_source = native.NativeFrameSource(
+                        native.ffmpeg_decoder_cmd(
+                            cfg.input_video_path, width, height, cfg.fps,
+                            start_time=cfg.start_time, end_time=cfg.end_time,
+                            ffmpeg_path=cfg.ffmpeg_path,
+                        ),
+                        width, height,
+                    )
+                except Exception:
+                    frame_source = None
+            if frame_source is None:
+                frame_source = media.FFMPEGFrameSource(
+                    cfg.input_video_path, width, height, cfg.fps,
+                    start_time=cfg.start_time, end_time=cfg.end_time,
+                    ffmpeg_path=cfg.ffmpeg_path,
+                )
         elif Path(cfg.input_video_path).is_dir():
             frame_source = media.DirectoryFrameSource(cfg.input_video_path, width, height)
         else:
@@ -153,10 +171,24 @@ def vid2vid(
     own_sink = frame_sink is None
     if frame_sink is None:
         if media.ffmpeg_available(cfg.ffmpeg_path):
-            frame_sink = media.FFMPEGFrameSink(
-                str(raw_video_path), out_w, out_h, cfg.fps,
-                crf=cfg.crf, ffmpeg_path=cfg.ffmpeg_path,
-            )
+            if cfg.use_native_framepipe:
+                try:
+                    from controlanimate_tpu.io import native
+
+                    frame_sink = native.NativeFrameSink(
+                        native.ffmpeg_encoder_cmd(
+                            str(raw_video_path), out_w, out_h, cfg.fps,
+                            crf=cfg.crf, ffmpeg_path=cfg.ffmpeg_path,
+                        ),
+                        out_w, out_h,
+                    )
+                except Exception:
+                    frame_sink = None
+            if frame_sink is None:
+                frame_sink = media.FFMPEGFrameSink(
+                    str(raw_video_path), out_w, out_h, cfg.fps,
+                    crf=cfg.crf, ffmpeg_path=cfg.ffmpeg_path,
+                )
         else:
             frame_sink = media.DirectoryFrameSink(str(out_dir / "frames"))
 
@@ -207,10 +239,35 @@ def vid2vid(
             if f is None:
                 break
             out.append(f)
-        nonlocal_consumed[0] += len(out)
         return out
 
+    # `consumed` counts frames actually incorporated into generated windows
+    # (NOT frames merely prefetched), so resume never skips unprocessed input
     nonlocal_consumed = [consumed]
+
+    # ---- host/device overlap (SURVEY §7 hard-part 6) ----
+    # one worker thread reads + annotates window N+1 while window N occupies
+    # the device; with loop_back_frames the ControlNet inputs depend on
+    # window N's outputs, so only the read is prefetched there
+    executor = None
+    pending_prefetch = None
+    if cfg.overlap_host_work and frame_source is not None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        executor = ThreadPoolExecutor(max_workers=1, thread_name_prefix="prefetch")
+    can_pre_annotate = not cfg.loop_back_frames
+
+    def _prefetch(tail_inputs: list, next_epoch: int):
+        new = read_n(window - len(tail_inputs))
+        if not new:
+            return [], None
+        cond = None
+        if can_pre_annotate and hasattr(pipeline, "prepare_cond_images"):
+            with timers.phase("annotate_prefetch"):
+                cond = pipeline.prepare_cond_images(
+                    np.stack(tail_inputs + new), next_epoch
+                )
+        return new, cond
 
     windows_run = 0
     trace_ctx = maybe_trace(cfg.trace_dir)
@@ -219,11 +276,26 @@ def vid2vid(
         if max_windows is not None and windows_run >= max_windows:
             break
         overlap_inputs = list(state.overlap_input_frames)
-        new_frames = read_n(window - len(overlap_inputs)) if frame_source else []
+        pre_cond = None
+        if pending_prefetch is not None:
+            new_frames, pre_cond = pending_prefetch.result()
+            pending_prefetch = None
+        elif frame_source is not None:
+            new_frames = read_n(window - len(overlap_inputs))
+        else:
+            new_frames = []
         if frame_source is not None and not new_frames:
             break
+        nonlocal_consumed[0] += len(new_frames)
         if frame_source is None and max_windows is None and windows_run >= 1:
-            break
+            # txt2vid: keep generating overlap-stitched windows until the
+            # configured length is reached (reference: vid2vid.py:168 runs
+            # while frame_count <= total_frames); pending tail-overlap frames
+            # flush after the loop, so they count toward the target
+            if frames_written + len(state.overlap_frames) >= max(
+                int(cfg.total_frames), cfg.frame_count
+            ):
+                break
 
         batch = overlap_inputs + new_frames
         overlaps = len(state.overlap_frames)
@@ -236,24 +308,32 @@ def vid2vid(
             np.stack(state.last_output_frames) if state.last_output_frames else None
         )
 
+        # launch the NEXT window's host work before occupying the device;
+        # the next window's overlap inputs are this batch's tail, known now
+        if executor is not None:
+            tail = list(batch[-overlap_length:]) if overlap_length > 0 else []
+            pending_prefetch = executor.submit(_prefetch, tail, state.epoch + 1)
+
+        cond_kw = {"cond_images": pre_cond} if pre_cond is not None else {}
         with timers.phase("animate_window"):
             if not done_initial_gen:
                 # IP-Adapter baseline double pass (reference: vid2vid.py:199-212)
                 frames = pipeline.animate(
                     input_frames, last_out, overlaps=overlaps,
-                    strength=strength, seed=seed, epoch=state.epoch,
+                    strength=strength, seed=seed, epoch=state.epoch, **cond_kw,
                 )
                 state.last_output_frame = frames[0]
                 frames = pipeline.animate(
                     input_frames, frames[-overlap_length:],
                     overlaps=len(frames[-overlap_length:]),
                     strength=cfg.overlap_strength, seed=seed, epoch=state.epoch,
+                    **cond_kw,
                 )
                 done_initial_gen = True
             else:
                 frames = pipeline.animate(
                     input_frames, last_out, overlaps=overlaps,
-                    strength=strength, seed=seed, epoch=state.epoch,
+                    strength=strength, seed=seed, epoch=state.epoch, **cond_kw,
                 )
 
         # color match against the previous anchor (vid2vid.py:216-220)
@@ -326,6 +406,8 @@ def vid2vid(
         frames_written += 1
 
     trace_ctx.__exit__(None, None, None)
+    if executor is not None:
+        executor.shutdown(wait=True)
     if own_sink:
         frame_sink.close()
     if own_source and frame_source is not None:

@@ -118,6 +118,18 @@ def test_txt2vid_no_input():
     assert summary["frames_written"] == 4
 
 
+def test_txt2vid_total_frames():
+    """txt2vid generates overlap-stitched windows until total_frames
+    (reference: vid2vid.py:50-52,168 — ADVICE r1: the loop used to stop
+    after exactly one window)."""
+    cfg = base_cfg(total_frames=10, frame_count=4, overlap_length=2)
+    pipe = tiny_pipeline(cfg)
+    sink = ArrayFrameSink()
+    summary = vid2vid(config=cfg, pipeline=pipe, frame_sink=sink)
+    assert summary["frames_written"] == 10
+    assert summary["windows"] == 4  # 2 new frames/window after the first
+
+
 def test_deterministic_given_seed():
     cfg = base_cfg()
     pipe = tiny_pipeline(cfg)
@@ -228,3 +240,20 @@ def test_save_frames_and_info(tmp_path):
     assert (tmp_path / "info.json").exists()
     assert len(list((tmp_path / "vid2vid_frames").glob("*.png"))) >= 2
     assert len(list((tmp_path / "vid2vid_input_frames").glob("*.png"))) >= 2
+
+
+def test_controlnet_condition_map_dumps(tmp_path):
+    """Per-epoch condition-map dumps under controlnet_outputs_<ts>/<net>/
+    (reference: controlresiduals_pipeline.py:239,249-259)."""
+    cfg = base_cfg(
+        save_frames=True, output_video_dir=str(tmp_path),
+        controlnets=("lllyasviel/sd-controlnet-canny",), cond_scale=(1.0,),
+    )
+    pipe = tiny_pipeline(cfg, with_controlnet=True)
+    frames_in = (np.random.RandomState(8).rand(4, 64, 64, 3) * 255).astype(np.uint8)
+    vid2vid(config=cfg, pipeline=pipe, frame_source=ArrayFrameSource(frames_in),
+            frame_sink=ArrayFrameSink())
+    roots = list(tmp_path.glob("controlnet_outputs_*"))
+    assert len(roots) == 1
+    pngs = list((roots[0] / "sd-controlnet-canny").glob("*.png"))
+    assert len(pngs) == 4  # one per window frame
