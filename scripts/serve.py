@@ -69,6 +69,13 @@ def worker() -> None:
 
 
 class Handler(BaseHTTPRequestHandler):
+    auth_token: str | None = None
+
+    def _authorized(self) -> bool:
+        if self.auth_token is None:
+            return True
+        return self.headers.get("Authorization", "") == f"Bearer {self.auth_token}"
+
     def _json(self, code: int, payload: dict) -> None:
         body = json.dumps(payload).encode()
         self.send_response(code)
@@ -78,6 +85,9 @@ class Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def do_GET(self):
+        if not self._authorized():
+            self._json(401, {"error": "unauthorized"})
+            return
         if self.path == "/healthz":
             self._json(200, {"ok": True, "jobs": len(JOBS)})
             return
@@ -91,6 +101,9 @@ class Handler(BaseHTTPRequestHandler):
         self._json(404, {"error": "unknown path"})
 
     def do_POST(self):
+        if not self._authorized():
+            self._json(401, {"error": "unauthorized"})
+            return
         if self.path != "/jobs":
             self._json(404, {"error": "unknown path"})
             return
@@ -114,12 +127,25 @@ class Handler(BaseHTTPRequestHandler):
         pass
 
 
-def serve(port: int = 8000):
+def serve(port: int = 8000, host: str = "127.0.0.1", token: str | None = None):
+    """Job configs control filesystem paths and consume the TPU, so the
+    default bind is loopback-only; pass --host 0.0.0.0 plus --token to expose
+    it (requests must then send `Authorization: Bearer <token>`)."""
+    Handler.auth_token = token
     threading.Thread(target=worker, daemon=True).start()
-    httpd = ThreadingHTTPServer(("0.0.0.0", port), Handler)
-    print(f"serving on :{port}", flush=True)
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    print(f"serving on {host}:{port}", flush=True)
     httpd.serve_forever()
 
 
 if __name__ == "__main__":
-    serve(int(sys.argv[1]) if len(sys.argv) > 1 else 8000)
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("port", nargs="?", type=int, default=8000)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--token", default=None, help="shared-secret bearer token")
+    a = ap.parse_args()
+    if a.host not in ("127.0.0.1", "localhost", "::1") and not a.token:
+        ap.error("--token is required when binding beyond loopback")
+    serve(a.port, a.host, a.token)
