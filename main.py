@@ -10,6 +10,16 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+import jax
+
+# persistent compilation cache (also wired in bench.py): repeat runs skip
+# the multi-minute first-window compile, including over the remote-compile
+# TPU tunnel
+jax.config.update(
+    "jax_compilation_cache_dir", str(Path(__file__).resolve().parent / ".jax_cache")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from scripts.vid2vid import vid2vid
 
 

@@ -104,6 +104,63 @@ def bench_window():
     bench.main(iters=3)
 
 
+def bench_transfer():
+    """Host<->device bandwidth + dispatch floor over this session's link
+    (the facade moves ~25MB/window round trip at 512px/16f uint8)."""
+    import numpy as np
+
+    f = jax.jit(lambda x: x + 1)
+    tiny = jnp.zeros((8,))
+    float(f(tiny).sum())
+    times = []
+    for _ in range(10):
+        t0 = time.time()
+        float(f(tiny).sum())
+        times.append(time.time() - t0)
+    log(f"dispatch+readback floor: {min(times)*1000:.1f} ms")
+
+    arr = np.random.randint(0, 255, (16, 512, 512, 3)).astype(np.uint8)
+    s = jax.jit(lambda x: x.astype(jnp.float32).sum())
+    x = jax.device_put(arr); float(s(x))  # warm the sum program
+    for _ in range(3):
+        t0 = time.time()
+        x = jax.device_put(arr)
+        float(s(x))
+        log(f"h2d 12.6MB u8 (+sum readback): {(time.time()-t0)*1000:.1f} ms")
+    for _ in range(3):
+        t0 = time.time()
+        np.asarray(x)
+        log(f"d2h 12.6MB u8: {(time.time()-t0)*1000:.1f} ms")
+
+
+def bench_window_staged():
+    """Facade window with the input frames PRE-STAGED on device — isolates
+    compute + output readback from the input transfer."""
+    import numpy as np
+
+    import bench
+
+    cfg_mod = bench.RunConfig(
+        width=512, height=512, frame_count=16, overlap_length=8,
+        use_lcm=True, steps=4, guidance_scale=7.5, strength=0.9,
+        lcm_origin_steps=50, prompt="a cat, masterpiece", n_prompt="blurry",
+        seed=7, dtype="bfloat16",
+    )
+    pipeline = bench.build_pipeline(cfg_mod)
+    rng = np.random.RandomState(0)
+    staged = jnp.asarray((rng.rand(16, 512, 512, 3) * 255).astype(np.uint8))
+    staged.block_until_ready()
+    out = pipeline.animate(staged, None, overlaps=0, seed=7)
+    log(f"staged first window done {out.shape}")
+    times = []
+    for i in range(4):
+        t0 = time.time()
+        out = pipeline.animate(staged, None, overlaps=0, seed=7)
+        times.append(time.time() - t0)
+        log(f"staged window {i}: {times[-1]*1000:.1f} ms")
+    log(f"staged fps: {16/min(times):.2f}")
+
+
 def bench_ablate():
     """UNet component ablations: where do the 600ms go?"""
     from controlanimate_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
@@ -150,6 +207,13 @@ def bench_ablate():
 
 if __name__ == "__main__":
     which = set(sys.argv[1:]) or {"attn", "unet", "vae"}
+    if "cache" in which:
+        # persistent compilation cache probe: run the same sweep twice in two
+        # processes; if the second run's compile+first collapses, the cache
+        # survives the remote-compile tunnel
+        jax.config.update("jax_compilation_cache_dir", str(Path(__file__).resolve().parent.parent / ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        log("compilation cache enabled")
     log(f"device: {jax.devices()[0]}")
     if "attn" in which:
         bench_attention()
@@ -161,6 +225,10 @@ if __name__ == "__main__":
         bench_ablate()
     if "vaeablate" in which:
         bench_vae_ablate()
+    if "transfer" in which:
+        bench_transfer()
     if "window" in which:
         bench_window()
+    if "staged" in which:
+        bench_window_staged()
     log("DONE")
