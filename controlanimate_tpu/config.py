@@ -192,7 +192,9 @@ class RunConfig:
     textual_inversion_paths: tuple[str, ...] = ("models/TI/easynegative.safetensors",)
 
     # job checkpoint/resume (new; the reference loses all progress on a
-    # mid-video crash — SURVEY §5.3/§5.4)
+    # mid-video crash — SURVEY §5.3/§5.4). Saving a checkpoint reads the
+    # overlap state back from device; raise the interval to amortize that
+    checkpoint_interval: int = 1
     resume: bool = False
     # profiling (new; reference has no tracing subsystem — SURVEY §5.1)
     trace_dir: Optional[str] = None
@@ -269,19 +271,25 @@ class StitchState:
 
     The reference smuggles all of this through config mutation and local
     variables in the epoch loop (scripts/vid2vid.py:153-231).
+
+    The output-side fields (overlap_frames, last_output_frames,
+    last_output_frame) are STACKED uint8 arrays — host numpy after a resume,
+    jax device arrays during a run, so the stitch pipeline never round-trips
+    frames through the host between windows. overlap_input_frames stays a
+    host list (it feeds window assembly and host annotators).
     """
 
     epoch: int = 0
     seed: int = 0
-    # previous window's *output* frames for the overlap slots (uint8 HWC arrays)
-    overlap_frames: list = field(default_factory=list)
+    # previous window's *output* frames for the overlap slots: (K, H, W, 3)
+    overlap_frames: Optional[Any] = None
     # previous window's *input* frames re-presented in the overlap slots
     overlap_input_frames: list = field(default_factory=list)
     # anchors for img2img / IP-Adapter (reference: vid2vid.py:229-231)
-    last_output_frames: list = field(default_factory=list)
-    # color-match reference frame (reference: vid2vid.py:220)
+    last_output_frames: Optional[Any] = None
+    # color-match reference frame (reference: vid2vid.py:220): (H, W, 3)
     last_output_frame: Optional[Any] = None
 
     @property
     def overlap_length(self) -> int:
-        return len(self.overlap_frames)
+        return 0 if self.overlap_frames is None else int(self.overlap_frames.shape[0])

@@ -123,8 +123,12 @@ class FFMPEGFrameSource(FrameSource):
 
 
 class FFMPEGFrameSink(FrameSink):
-    """Encode raw RGB frames to x264 via a pipe, buffered on a thread
-    (reference: scripts/vid2vid.py:123-136)."""
+    """Encode raw frames to x264 via a pipe, buffered on a thread
+    (reference: scripts/vid2vid.py:123-136).
+
+    pix_fmt "rgb24" matches the reference byte-for-byte; "yuv420p" accepts
+    device-converted I420 buffers (half the bytes — x264 consumes yuv420p
+    natively, the reference merely had swscale do this conversion on host)."""
 
     def __init__(
         self,
@@ -135,11 +139,13 @@ class FFMPEGFrameSink(FrameSink):
         crf: int = 23,
         ffmpeg_path: str = "ffmpeg",
         queue_size: int = 64,
+        pix_fmt: str = "rgb24",
     ):
         Path(path).parent.mkdir(parents=True, exist_ok=True)
+        self.pix_fmt = pix_fmt
         cmd = [
             ffmpeg_path, "-hide_banner", "-loglevel", "error", "-y",
-            "-f", "rawvideo", "-pix_fmt", "rgb24",
+            "-f", "rawvideo", "-pix_fmt", pix_fmt,
             "-s", f"{width}x{height}", "-r", str(fps),
             "-i", "pipe:0",
             "-c:v", "libx264", "-preset", "medium", "-crf", str(crf),

@@ -98,9 +98,11 @@ class NativeFrameSource(FrameSource):
 class NativeFrameSink(FrameSink):
     """Frames consumed by a child process reading raw bytes from stdin."""
 
-    def __init__(self, cmd: Sequence[str], width: int, height: int, capacity: int = 64):
+    def __init__(self, cmd: Sequence[str], width: int, height: int, capacity: int = 64,
+                 pix_fmt: str = "rgb24"):
         self.lib = load_library()
-        self.frame_bytes = width * height * 3
+        self.pix_fmt = pix_fmt
+        self.frame_bytes = width * height * 3 // (2 if pix_fmt == "yuv420p" else 1)
         arr, n = _argv(cmd)
         self.handle = self.lib.fp_open_writer(arr, n, self.frame_bytes, capacity)
         if not self.handle:
@@ -143,11 +145,11 @@ def ffmpeg_decoder_cmd(
 
 def ffmpeg_encoder_cmd(
     path: str, width: int, height: int, fps: float, crf: int = 23,
-    ffmpeg_path: str = "ffmpeg",
+    ffmpeg_path: str = "ffmpeg", pix_fmt: str = "rgb24",
 ) -> list[str]:
     return [
         ffmpeg_path, "-hide_banner", "-loglevel", "error", "-y",
-        "-f", "rawvideo", "-pix_fmt", "rgb24", "-s", f"{width}x{height}",
+        "-f", "rawvideo", "-pix_fmt", pix_fmt, "-s", f"{width}x{height}",
         "-r", str(fps), "-i", "pipe:0",
         "-c:v", "libx264", "-preset", "medium", "-crf", str(crf),
         "-pix_fmt", "yuv420p", path,

@@ -105,6 +105,33 @@ class GroupNorm(nn.Module):
         return y.reshape(x.shape)
 
 
+class LayerNorm32(nn.Module):
+    """LayerNorm with fp32 statistics and input-dtype output.
+
+    nn.LayerNorm(dtype=float32) materializes an f32 copy of the activation
+    (2x HBM traffic in a bf16 model); here the reductions accumulate in f32
+    but the normalize/affine runs in the input dtype — the same policy as
+    GroupNorm above, and the bf16 analog of the reference's fp16 .half()
+    execution. Param tree matches nn.LayerNorm ({scale, bias})."""
+
+    epsilon: float = 1e-5  # torch LayerNorm default (flax defaults to 1e-6)
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+        mean2 = jnp.mean(
+            jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True, dtype=jnp.float32
+        )
+        var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        a = inv.astype(x.dtype)
+        b = (-mean * inv).astype(x.dtype)
+        return (x * a + b) * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
 class Attention(nn.Module):
     """Multi-head attention with optional IP-Adapter dual-stream cross-attn.
 

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .layers import FeedForward, GroupNorm
+from .layers import FeedForward, GroupNorm, LayerNorm32
 
 
 def temporal_positional_encoding(max_len: int, dim: int) -> np.ndarray:
@@ -56,7 +56,7 @@ class TemporalAttentionBlock(nn.Module):
                 f"table (max_len={self.max_len}; v1=24, v2=32 — reference "
                 "motion_module.py:227-245). Lower frame_count or use the v2 module."
             )
-        h = nn.LayerNorm(name="norm", dtype=jnp.float32)(x)
+        h = LayerNorm32(name="norm")(x)
         if self.use_pos_encoding:
             pe = temporal_positional_encoding(self.max_len, C)[:F]
             h = h + jnp.asarray(pe, h.dtype)[None, :, None, :]
@@ -111,7 +111,7 @@ class TemporalTransformerBlock(nn.Module):
                 name=f"attention_blocks_{i}",
                 dtype=self.dtype,
             )(x)
-        h = nn.LayerNorm(name="norm", dtype=jnp.float32)(x)
+        h = LayerNorm32(name="norm")(x)
         return x + FeedForward(name="ff", dtype=self.dtype)(h)
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import Attention, FeedForward, GroupNorm
+from .layers import LayerNorm32, Attention, FeedForward, GroupNorm
 from .resnet3d import fold_frames, unfold_frames
 
 
@@ -30,12 +30,12 @@ class BasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, context, ip_scale=1.0):
         dim = x.shape[-1]
-        h = nn.LayerNorm(name="norm1", dtype=jnp.float32)(x)
+        h = LayerNorm32(name="norm1")(x)
         x = x + Attention(
             dim, self.heads, self.dim_head, name="attn1",
             upcast_attention=self.upcast_attention, dtype=self.dtype,
         )(h)
-        h = nn.LayerNorm(name="norm2", dtype=jnp.float32)(x)
+        h = LayerNorm32(name="norm2")(x)
         x = x + Attention(
             dim, self.heads, self.dim_head,
             cross_attention_dim=self.cross_attention_dim,
@@ -44,7 +44,7 @@ class BasicTransformerBlock(nn.Module):
             upcast_attention=self.upcast_attention,
             dtype=self.dtype,
         )(h, encoder_hidden_states=context, ip_scale=ip_scale)
-        h = nn.LayerNorm(name="norm3", dtype=jnp.float32)(x)
+        h = LayerNorm32(name="norm3")(x)
         return x + FeedForward(name="ff", dtype=self.dtype)(h)
 
 

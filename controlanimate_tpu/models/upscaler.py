@@ -158,6 +158,23 @@ class Upscaler:
             ])
         return out
 
+    def upscale_batch_device(self, frames_dev) -> "jnp.ndarray":
+        """Device-resident path: (F, H, W, 3) uint8 device array ->
+        (F, 4H, 4W, 3) uint8 device array, no host round trip. Raises
+        ValueError when the host path is required (non-4x scale or an active
+        face enhancer)."""
+        if abs(self.scale - 4.0) > 1e-6 or self.face_enhancer is not None:
+            raise ValueError("device upscale path requires scale=4 and no face enhancer")
+        if not hasattr(self, "_jit_u8"):
+            self._jit_u8 = jax.jit(
+                lambda p, x: jnp.clip(
+                    self.model.apply({"params": p}, x.astype(jnp.float32) / 255.0)
+                    * 255.0 + 0.5,
+                    0.0, 255.0,
+                ).astype(jnp.uint8)
+            )
+        return self._jit_u8(self.params, frames_dev)
+
     def process_batch(self, frames: np.ndarray) -> np.ndarray:
         """Whole-window path: the RRDB upscale always runs as ONE jitted
         batch; the face enhancer (when present) runs per frame around it

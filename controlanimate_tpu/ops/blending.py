@@ -23,3 +23,10 @@ def blend_overlap(new_frames: jnp.ndarray, prev_frames: jnp.ndarray) -> jnp.ndar
     alpha = (K - i - 0.5) / K
     alpha = alpha[:, None, None, None]
     return new_frames * (1.0 - alpha) + prev_frames.astype(new_frames.dtype) * alpha
+
+
+@jax.jit
+def blend_overlap_u8(new_frames: jnp.ndarray, prev_frames: jnp.ndarray) -> jnp.ndarray:
+    """uint8-in/uint8-out blend, device-resident (no host round trip)."""
+    out = blend_overlap(new_frames.astype(jnp.float32), prev_frames.astype(jnp.float32))
+    return jnp.clip(out + 0.5, 0.0, 255.0).astype(jnp.uint8)

@@ -426,4 +426,4 @@ class ControlAnimatePipeline:
             input_frames=input_dev,
             last_output_frames=last_dev,
         )
-        return np.asarray(out[0])  # (F, H, W, 3) uint8 (quantized on device)
+        return out[0]  # (F, H, W, 3) uint8 DEVICE array (quantized on device)

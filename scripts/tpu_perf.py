@@ -133,6 +133,125 @@ def bench_transfer():
         log(f"d2h 12.6MB u8: {(time.time()-t0)*1000:.1f} ms")
 
 
+def bench_programs():
+    """Per-stage breakdown of the production window at bench geometry:
+    prepare / denoise / decode programs + stitch ops (color match, yuv)."""
+    import numpy as np
+
+    import bench
+    from controlanimate_tpu.ops.color_match import match_colors_u8
+    from controlanimate_tpu.ops.yuv import rgb_to_yuv420
+    from controlanimate_tpu.pipelines.engine import WindowStatic
+
+    cfg = bench.RunConfig(
+        width=512, height=512, frame_count=16, overlap_length=8,
+        use_lcm=True, steps=4, guidance_scale=7.5, strength=0.9,
+        lcm_origin_steps=50, prompt="a cat", n_prompt="", seed=7,
+        dtype="bfloat16",
+    )
+    pipeline = bench.build_pipeline(cfg)
+    eng = pipeline.engine
+    st = WindowStatic(
+        steps=4, use_lcm=True, guidance_scale=7.5, strength=0.9,
+        lcm_origin_steps=50, frame_count=16, height=512, width=512,
+        output_uint8=True,
+    )
+    sched = eng.build_scheduler(st)
+    prepare = eng._make_prepare_fn(st, sched)
+    denoise = eng._make_denoise_fn(st, sched)
+    decode = eng._make_decode_fn(True)
+
+    key = jax.random.PRNGKey(0)
+    rng = __import__("numpy").random.RandomState(0)
+    frames = jnp.asarray((rng.rand(1, 16, 512, 512, 3) * 255).astype("uint8"))
+    text = jax.random.normal(key, (1, 77, 768), jnp.bfloat16)
+    latent_shape = (1, 16, 64, 64, 4)
+
+    lat = timeit_ret("prepare (incl vae encode 16f)", lambda: prepare(
+        eng.m.vae_params, frames, None, latent_shape, key))
+    lat2 = timeit_ret("denoise (4 LCM steps)", lambda: denoise(
+        eng.m.unet_params, (), text, (), lat, key))
+    out = timeit_ret("decode (16f -> u8)", lambda: decode(eng.m.vae_params, lat2))
+    ref = out[0, 0]
+    timeit_ret("color_match_u8 16f", lambda: match_colors_u8(out[0], ref))
+    timeit_ret("rgb_to_yuv420 16f", lambda: rgb_to_yuv420(out[0]))
+
+
+def timeit_ret(name, fn, iters=3):
+    t0 = time.time()
+    out = fn()
+    float(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32).sum())
+    log(f"{name} compile+first: {time.time()-t0:.1f}s")
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        out = fn()
+        float(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32).sum())
+        times.append(time.time() - t0)
+    log(f"{name} best: {min(times)*1000:.2f} ms")
+    return out
+
+
+def bench_motion():
+    """Temporal-attention layout shootout at the UNet's level geometries:
+    which formulation of frame-axis attention (huge batch, seq 16) is
+    fastest on this chip?"""
+    key = jax.random.PRNGKey(0)
+    for (B, F, N, C) in [(2, 16, 4096, 320), (2, 16, 1024, 640), (2, 16, 256, 1280)]:
+        H = 8
+        D = C // H
+        ks = jax.random.split(key, 6)
+        x = jax.random.normal(ks[0], (B, F, N, C), jnp.bfloat16)
+        wq = jax.random.normal(ks[1], (C, C), jnp.bfloat16) * 0.02
+        wk = jax.random.normal(ks[2], (C, C), jnp.bfloat16) * 0.02
+        wv = jax.random.normal(ks[3], (C, C), jnp.bfloat16) * 0.02
+        wo = jax.random.normal(ks[4], (C, C), jnp.bfloat16) * 0.02
+        wqkv = jnp.concatenate([wq, wk, wv], axis=1)
+        log(f"--- motion geometry B{B} F{F} N{N} C{C}")
+
+        def v_einsum(x):
+            q = (x @ wq).reshape(B, F, N, H, D)
+            k = (x @ wk).reshape(B, F, N, H, D)
+            v = (x @ wv).reshape(B, F, N, H, D)
+            logits = jnp.einsum("bfnhd,bgnhd->bnhfg", q, k) * (D**-0.5)
+            p = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(q.dtype)
+            out = jnp.einsum("bnhfg,bgnhd->bfnhd", p, v).reshape(B, F, N, C)
+            return out @ wo
+
+        def v_qkv_fused(x):
+            qkv = (x @ wqkv).reshape(B, F, N, 3, H, D)
+            q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+            logits = jnp.einsum("bfnhd,bgnhd->bnhfg", q, k) * (D**-0.5)
+            p = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(q.dtype)
+            out = jnp.einsum("bnhfg,bgnhd->bfnhd", p, v).reshape(B, F, N, C)
+            return out @ wo
+
+        def v_transpose_sdpa(x):
+            xt = x.transpose(0, 2, 1, 3).reshape(B * N, F, C)
+            q = (xt @ wq).reshape(B * N, F, H, D)
+            k = (xt @ wk).reshape(B * N, F, H, D)
+            v = (xt @ wv).reshape(B * N, F, H, D)
+            out = jax.nn.dot_product_attention(q, k, v).reshape(B * N, F, C)
+            out = (out @ wo).reshape(B, N, F, C).transpose(0, 2, 1, 3)
+            return out
+
+        def v_merged_heads(x):
+            # single-head-equivalent blocked form: contract d per head but
+            # batch (n) into the matmul minor dims via one big einsum
+            q = (x @ wq).reshape(B, F, N * H, D)
+            k = (x @ wk).reshape(B, F, N * H, D)
+            v = (x @ wv).reshape(B, F, N * H, D)
+            logits = jnp.einsum("bfmd,bgmd->bmfg", q, k) * (D**-0.5)
+            p = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(q.dtype)
+            out = jnp.einsum("bmfg,bgmd->bfmd", p, v).reshape(B, F, N, C)
+            return out @ wo
+
+        for name, fn in [("einsum(cur)", v_einsum), ("qkv_fused", v_qkv_fused),
+                         ("transpose_sdpa", v_transpose_sdpa),
+                         ("merged_heads", v_merged_heads)]:
+            timeit(f"  {name}", jax.jit(fn), x)
+
+
 def bench_window_staged():
     """Facade window with the input frames PRE-STAGED on device — isolates
     compute + output readback from the input transfer."""
@@ -227,6 +346,10 @@ if __name__ == "__main__":
         bench_vae_ablate()
     if "transfer" in which:
         bench_transfer()
+    if "programs" in which:
+        bench_programs()
+    if "motion" in which:
+        bench_motion()
     if "window" in which:
         bench_window()
     if "staged" in which:

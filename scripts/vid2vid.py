@@ -10,8 +10,10 @@ Differences by design:
     config object as a runtime channel, vid2vid.py:147-196);
   * frame source/sink are injectable (ffmpeg subprocess, directory, or
     in-memory arrays) so the loop runs in ffmpeg-less environments;
-  * color matching and blending run on device (ops/color_match.py,
-    ops/blending.py) over whole frame batches;
+  * the whole stitch pipeline (color match, blending, upscale, YUV
+    conversion) is device-resident: one uint8 readback per window, with the
+    next window's read+annotate+staging overlapped on a host thread
+    (SURVEY §7 hard-part 6 — the reference blocks on PIL round trips);
   * encoder close uses process wait, not sleep(10) (vid2vid.py:273).
 """
 
@@ -31,8 +33,9 @@ import jax.numpy as jnp
 
 from controlanimate_tpu.config import RunConfig, StitchState
 from controlanimate_tpu.io import media
-from controlanimate_tpu.ops.blending import blend_overlap
-from controlanimate_tpu.ops.color_match import match_colors
+from controlanimate_tpu.ops.blending import blend_overlap_u8
+from controlanimate_tpu.ops.color_match import match_colors_u8
+from controlanimate_tpu.ops.yuv import rgb_to_yuv420
 from controlanimate_tpu.utils.profiling import PhaseTimers, maybe_trace
 
 
@@ -42,7 +45,12 @@ STATE_FILE = "stitch_state.npz"
 def _save_state(out_dir: Path, state: StitchState, consumed: int, frames_written: int,
                 segment: int) -> None:
     """Epoch-granular job checkpoint (new capability; the reference loses all
-    progress on a mid-video crash — SURVEY §5.3/§5.4)."""
+    progress on a mid-video crash — SURVEY §5.3/§5.4). Device-resident state
+    is read back here (amortize with RunConfig.checkpoint_interval)."""
+
+    def host(x, fallback_shape=(0,)):
+        return np.asarray(x) if x is not None else np.zeros(fallback_shape)
+
     np.savez(
         out_dir / STATE_FILE,
         epoch=state.epoch,
@@ -50,10 +58,12 @@ def _save_state(out_dir: Path, state: StitchState, consumed: int, frames_written
         consumed=consumed,
         frames_written=frames_written,
         segment=segment,
-        overlap_frames=np.stack(state.overlap_frames) if state.overlap_frames else np.zeros((0,)),
-        overlap_input_frames=np.stack(state.overlap_input_frames) if state.overlap_input_frames else np.zeros((0,)),
-        last_output_frames=np.stack(state.last_output_frames) if state.last_output_frames else np.zeros((0,)),
-        last_output_frame=state.last_output_frame if state.last_output_frame is not None else np.zeros((0,)),
+        overlap_frames=host(state.overlap_frames),
+        overlap_input_frames=(
+            np.stack(state.overlap_input_frames) if state.overlap_input_frames else np.zeros((0,))
+        ),
+        last_output_frames=host(state.last_output_frames),
+        last_output_frame=host(state.last_output_frame),
     )
 
 
@@ -64,11 +74,11 @@ def _load_state(out_dir: Path) -> tuple[StitchState, int, int, int] | None:
     z = np.load(path)
     state = StitchState(epoch=int(z["epoch"]), seed=int(z["seed"]))
     if z["overlap_frames"].ndim == 4:
-        state.overlap_frames = list(z["overlap_frames"])
+        state.overlap_frames = z["overlap_frames"]
     if z["overlap_input_frames"].ndim == 4:
         state.overlap_input_frames = list(z["overlap_input_frames"])
     if z["last_output_frames"].ndim == 4:
-        state.last_output_frames = list(z["last_output_frames"])
+        state.last_output_frames = z["last_output_frames"]
     if z["last_output_frame"].ndim == 3:
         state.last_output_frame = z["last_output_frame"]
     return state, int(z["consumed"]), int(z["frames_written"]), int(z["segment"])
@@ -79,9 +89,8 @@ def _round64(x: int) -> int:
 
 
 def _upscale_frames(frames, upscaler, upscale: float, out_w: int, out_h: int):
-    """Batch-upscale emitted frames (the reference upscales one frame at a
-    time on GPU, vid2vid.py:239-244); with a face enhancer the RRDB pass
-    still runs as one jitted batch (Upscaler.process_batch)."""
+    """Host-path upscale of emitted frames (face enhancer / non-4x scales);
+    the RRDB pass still runs as one jitted batch (Upscaler.process_batch)."""
     frames = np.asarray(frames, np.uint8)
     if len(frames) == 0:
         return []
@@ -168,6 +177,12 @@ def vid2vid(
     out_w, out_h = int(width * upscale), int(height * upscale)
     segment = resumed[3] + 1 if resumed else 0
     raw_video_path = out_dir / f"output_raw_{segment:03d}.mp4"
+    # yuv420p framing halves the per-window readback; only the device RRDB
+    # path preserves it (host upscale/face-enhance falls back to rgb24)
+    device_upscale_ok = upscale == 1.0 or (
+        abs(upscale - 4.0) < 1e-6 and not cfg.use_face_enhancer
+    )
+    sink_pix_fmt = "yuv420p" if device_upscale_ok else "rgb24"
     own_sink = frame_sink is None
     if frame_sink is None:
         if media.ffmpeg_available(cfg.ffmpeg_path):
@@ -179,18 +194,20 @@ def vid2vid(
                         native.ffmpeg_encoder_cmd(
                             str(raw_video_path), out_w, out_h, cfg.fps,
                             crf=cfg.crf, ffmpeg_path=cfg.ffmpeg_path,
+                            pix_fmt=sink_pix_fmt,
                         ),
-                        out_w, out_h,
+                        out_w, out_h, pix_fmt=sink_pix_fmt,
                     )
                 except Exception:
                     frame_sink = None
             if frame_sink is None:
                 frame_sink = media.FFMPEGFrameSink(
                     str(raw_video_path), out_w, out_h, cfg.fps,
-                    crf=cfg.crf, ffmpeg_path=cfg.ffmpeg_path,
+                    crf=cfg.crf, ffmpeg_path=cfg.ffmpeg_path, pix_fmt=sink_pix_fmt,
                 )
         else:
             frame_sink = media.DirectoryFrameSink(str(out_dir / "frames"))
+    sink_pix_fmt = getattr(frame_sink, "pix_fmt", "rgb24")
 
     # ---- pipeline ----
     if pipeline is None:
@@ -246,9 +263,9 @@ def vid2vid(
     nonlocal_consumed = [consumed]
 
     # ---- host/device overlap (SURVEY §7 hard-part 6) ----
-    # one worker thread reads + annotates window N+1 while window N occupies
-    # the device; with loop_back_frames the ControlNet inputs depend on
-    # window N's outputs, so only the read is prefetched there
+    # one worker thread reads, annotates, and device-stages window N+1 while
+    # window N occupies the device; with loop_back_frames the ControlNet
+    # inputs depend on window N's outputs, so only the read is prefetched
     executor = None
     pending_prefetch = None
     if cfg.overlap_host_work and frame_source is not None:
@@ -260,14 +277,45 @@ def vid2vid(
     def _prefetch(tail_inputs: list, next_epoch: int):
         new = read_n(window - len(tail_inputs))
         if not new:
-            return [], None
+            return [], None, None
         cond = None
-        if can_pre_annotate and hasattr(pipeline, "prepare_cond_images"):
-            with timers.phase("annotate_prefetch"):
-                cond = pipeline.prepare_cond_images(
-                    np.stack(tail_inputs + new), next_epoch
+        staged = None
+        if can_pre_annotate:
+            batch_next = np.stack(tail_inputs + new)
+            if hasattr(pipeline, "prepare_cond_images"):
+                with timers.phase("annotate_prefetch"):
+                    cond = pipeline.prepare_cond_images(batch_next, next_epoch)
+            # stage the input frames on device while the previous window runs
+            staged = jnp.asarray(batch_next)
+        return new, cond, staged
+
+    def _emit(frames_dev) -> list:
+        """Upscale + write `frames_dev` (device uint8 RGB); returns host RGB
+        list only when save_frames needs it."""
+        n = int(frames_dev.shape[0])
+        if n == 0:
+            return []
+        host_rgb = None
+        if upscaler is not None:
+            try:
+                frames_dev = upscaler.upscale_batch_device(frames_dev)
+            except (ValueError, AttributeError):
+                host_rgb = _upscale_frames(
+                    np.asarray(frames_dev), upscaler, upscale, out_w, out_h
                 )
-        return new, cond
+        elif upscale > 1.0:
+            host_rgb = _upscale_frames(np.asarray(frames_dev), None, upscale, out_w, out_h)
+
+        if host_rgb is None:
+            if sink_pix_fmt == "yuv420p":
+                buf = np.asarray(rgb_to_yuv420(frames_dev))
+                for fr in buf:
+                    frame_sink.write(fr)
+                return []
+            host_rgb = list(np.asarray(frames_dev))
+        for fr in host_rgb:
+            frame_sink.write(np.asarray(fr, np.uint8))
+        return host_rgb
 
     windows_run = 0
     trace_ctx = maybe_trace(cfg.trace_dir)
@@ -276,9 +324,9 @@ def vid2vid(
         if max_windows is not None and windows_run >= max_windows:
             break
         overlap_inputs = list(state.overlap_input_frames)
-        pre_cond = None
+        pre_cond = staged_input = None
         if pending_prefetch is not None:
-            new_frames, pre_cond = pending_prefetch.result()
+            new_frames, pre_cond, staged_input = pending_prefetch.result()
             pending_prefetch = None
         elif frame_source is not None:
             new_frames = read_n(window - len(overlap_inputs))
@@ -286,27 +334,28 @@ def vid2vid(
             new_frames = []
         if frame_source is not None and not new_frames:
             break
-        nonlocal_consumed[0] += len(new_frames)
         if frame_source is None and max_windows is None and windows_run >= 1:
             # txt2vid: keep generating overlap-stitched windows until the
             # configured length is reached (reference: vid2vid.py:168 runs
             # while frame_count <= total_frames); pending tail-overlap frames
             # flush after the loop, so they count toward the target
-            if frames_written + len(state.overlap_frames) >= max(
+            if frames_written + state.overlap_length >= max(
                 int(cfg.total_frames), cfg.frame_count
             ):
                 break
+        nonlocal_consumed[0] += len(new_frames)
 
         batch = overlap_inputs + new_frames
-        overlaps = len(state.overlap_frames)
+        overlaps = state.overlap_length
         if overlaps and cfg.loop_back_frames:
-            batch[:overlaps] = list(state.overlap_frames)  # (vid2vid.py:193-194)
-        input_frames = np.stack(batch) if batch else None
+            # substitute generated frames as annotator inputs (vid2vid.py:193-194)
+            batch[:overlaps] = list(np.asarray(state.overlap_frames, np.uint8))
+        input_frames = staged_input if staged_input is not None else (
+            np.stack(batch) if batch else None
+        )
         strength = cfg.overlap_strength if overlaps else cfg.strength
 
-        last_out = (
-            np.stack(state.last_output_frames) if state.last_output_frames else None
-        )
+        last_out = state.last_output_frames
 
         # launch the NEXT window's host work before occupying the device;
         # the next window's overlap inputs are this batch's tail, known now
@@ -318,57 +367,52 @@ def vid2vid(
         with timers.phase("animate_window"):
             if not done_initial_gen:
                 # IP-Adapter baseline double pass (reference: vid2vid.py:199-212)
-                frames = pipeline.animate(
+                out = pipeline.animate_async(
                     input_frames, last_out, overlaps=overlaps,
                     strength=strength, seed=seed, epoch=state.epoch, **cond_kw,
                 )
-                state.last_output_frame = frames[0]
-                frames = pipeline.animate(
-                    input_frames, frames[-overlap_length:],
-                    overlaps=len(frames[-overlap_length:]),
+                state.last_output_frame = out[0]
+                anchors = out[-overlap_length:] if overlap_length > 0 else out[-1:]
+                out = pipeline.animate_async(
+                    input_frames, anchors, overlaps=int(anchors.shape[0]),
                     strength=cfg.overlap_strength, seed=seed, epoch=state.epoch,
                     **cond_kw,
                 )
                 done_initial_gen = True
             else:
-                frames = pipeline.animate(
+                out = pipeline.animate_async(
                     input_frames, last_out, overlaps=overlaps,
                     strength=strength, seed=seed, epoch=state.epoch, **cond_kw,
                 )
+        frames_dev = out  # (F, H, W, 3) uint8, device-resident
 
         # color match against the previous anchor (vid2vid.py:216-220)
         if state.last_output_frame is not None:
-          with timers.phase("color_match"):
-            matched = match_colors(
-                jnp.asarray(frames, jnp.float32) / 255.0,
-                jnp.asarray(state.last_output_frame, jnp.float32) / 255.0,
-            )
-            frames = (np.asarray(matched) * 255.0 + 0.5).astype(np.uint8)
+            with timers.phase("color_match"):
+                frames_dev = match_colors_u8(
+                    frames_dev, jnp.asarray(state.last_output_frame)
+                )
 
-        state.last_output_frame = frames[max(overlap_length - 1, -1)]
+        state.last_output_frame = frames_dev[max(overlap_length - 1, -1)]
         if overlap_length > 0:
-            state.last_output_frames = list(frames[-overlap_length:])
+            state.last_output_frames = frames_dev[-overlap_length:]
 
         # blend head overlap slots with previous epoch versions (:225-227)
         if overlaps:
-            prev = np.stack(state.overlap_frames)
-            blended = blend_overlap(
-                jnp.asarray(frames[:overlaps], jnp.float32), jnp.asarray(prev, jnp.float32)
+            blended = blend_overlap_u8(
+                frames_dev[:overlaps], jnp.asarray(state.overlap_frames)
             )
-            frames = np.concatenate(
-                [np.asarray(blended, np.uint8).clip(0, 255), frames[overlaps:]]
-            ).astype(np.uint8)
+            frames_dev = jnp.concatenate([blended, frames_dev[overlaps:]])
 
         if overlap_length > 0:
-            state.overlap_frames = list(frames[-overlap_length:])
+            state.overlap_frames = frames_dev[-overlap_length:]
             state.overlap_input_frames = batch[-overlap_length:]
 
         # emit all but the tail overlap; the tail is flushed after the loop
-        emit = len(frames) - len(state.overlap_frames)
+        emit = int(frames_dev.shape[0]) - state.overlap_length
         with timers.phase("upscale_and_emit"):
-            for frame in _upscale_frames(frames[:emit], upscaler, upscale, out_w, out_h):
-                frame_sink.write(frame)
-                frames_written += 1
+            emitted_host = _emit(frames_dev[:emit])
+            frames_written += emit
 
         if cfg.save_frames:
             # output + input frame dumps and a config snapshot
@@ -387,8 +431,11 @@ def vid2vid(
                 snap = dataclasses.asdict(cfg)
                 snap["seed"] = seed
                 info.write_text(json.dumps(snap, indent=2, default=str))
-            for i, frame in enumerate(frames[:emit]):
-                Image.fromarray(frame).save(fdir / f"{frames_written - emit + i + 1:04d}.png")
+            out_host = emitted_host or list(np.asarray(frames_dev[:emit]))
+            for i, frame in enumerate(out_host):
+                Image.fromarray(np.asarray(frame, np.uint8)).save(
+                    fdir / f"{frames_written - emit + i + 1:04d}.png"
+                )
             for i, frame in enumerate(batch[:emit]):
                 Image.fromarray(np.asarray(frame, np.uint8)).save(
                     fdir_in / f"{frames_written - emit + i + 1:04d}.png"
@@ -396,14 +443,14 @@ def vid2vid(
 
         state.epoch += 1
         windows_run += 1
-        _save_state(out_dir, state, nonlocal_consumed[0], frames_written, segment)
+        if cfg.checkpoint_interval > 0 and state.epoch % cfg.checkpoint_interval == 0:
+            with timers.phase("checkpoint"):
+                _save_state(out_dir, state, nonlocal_consumed[0], frames_written, segment)
 
     # flush the pending tail overlap frames (generated, not yet emitted)
-    for frame in _upscale_frames(
-        np.asarray(state.overlap_frames), upscaler, upscale, out_w, out_h
-    ):
-        frame_sink.write(frame)
-        frames_written += 1
+    if state.overlap_frames is not None and state.overlap_length:
+        _emit(jnp.asarray(state.overlap_frames))
+        frames_written += state.overlap_length
 
     trace_ctx.__exit__(None, None, None)
     if executor is not None:
@@ -417,7 +464,7 @@ def vid2vid(
     final_path = out_dir / "output.mp4"
     if (
         own_sink
-        and isinstance(frame_sink, media.FFMPEGFrameSink)
+        and isinstance(frame_sink, (media.FFMPEGFrameSink,) + _native_sink_types())
         and media.ffmpeg_available(cfg.ffmpeg_path)
     ):
         segments = sorted(out_dir.glob("output_raw_*.mp4"))
@@ -439,3 +486,12 @@ def vid2vid(
         "windows": windows_run,
         "timers": timers.summary(),
     }
+
+
+def _native_sink_types() -> tuple:
+    try:
+        from controlanimate_tpu.io.native import NativeFrameSink
+
+        return (NativeFrameSink,)
+    except Exception:
+        return ()

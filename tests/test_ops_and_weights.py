@@ -45,6 +45,44 @@ def test_match_colors_pipeline():
     assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
 
 
+def test_match_colors_u8_lut_matches_histogram():
+    """The uint8 LUT path must produce EXACT histogram matching for uint8
+    data: after matching, the per-channel histogram of the output equals the
+    composition through the CDF mapping; and matching a frame to itself is
+    the identity."""
+    from controlanimate_tpu.ops.color_match import match_colors_u8
+
+    rs = np.random.RandomState(3)
+    frames = rs.randint(0, 256, (2, 16, 16, 3)).astype(np.uint8)
+    # self-match: hm(identity) -> mkl(identity) -> hm(identity)
+    out_self = np.asarray(match_colors_u8(jnp.asarray(frames[:1]), jnp.asarray(frames[0])))
+    np.testing.assert_array_equal(out_self[0], frames[0])
+    # general case: output distribution approaches the reference's
+    ref = rs.randint(100, 200, (16, 16, 3)).astype(np.uint8)
+    out = np.asarray(match_colors_u8(jnp.asarray(frames), jnp.asarray(ref)))
+    assert out.shape == frames.shape and out.dtype == np.uint8
+    for c in range(3):
+        got_mean = out[0, :, :, c].mean()
+        ref_mean = ref[:, :, c].mean()
+        assert abs(got_mean - ref_mean) < 6.0, (c, got_mean, ref_mean)
+
+
+def test_rgb_yuv420_roundtrip():
+    """Device RGB->YUV420 must invert (via the host reference) to within
+    chroma-subsampling error on smooth content."""
+    from controlanimate_tpu.ops.yuv import rgb_to_yuv420, yuv420_to_rgb_host
+
+    H = W = 16
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    smooth = np.stack([yy * 8, xx * 8, (yy + xx) * 4], axis=-1).clip(0, 255).astype(np.uint8)
+    frames = np.stack([smooth, 255 - smooth])
+    buf = np.asarray(rgb_to_yuv420(jnp.asarray(frames)))
+    assert buf.shape == (2, H * W * 3 // 2) and buf.dtype == np.uint8
+    back = yuv420_to_rgb_host(buf, H, W)
+    err = np.abs(back.astype(np.int32) - frames.astype(np.int32))
+    assert err.mean() < 6.0 and err.max() < 48, (err.mean(), err.max())
+
+
 def test_blend_overlap_weights():
     """alpha_i = (K-i-0.5)/K (reference: vid2vid.py:225-227)."""
     K = 4
