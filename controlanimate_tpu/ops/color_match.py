@@ -98,41 +98,52 @@ def match_colors(frames: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(x, 0.0, 1.0)
 
 
-def _cdf256(x_u8: jnp.ndarray) -> jnp.ndarray:
+_CDF_STRIDE = 4  # CDF estimation subsample: >=64k samples/channel at 512^2,
+# so the 256-level CDF estimate is within ~1 LSB of exact while the compare
+# volume drops 4x (the mapping itself stays exact per level)
+
+
+def _cdf256(x_u8: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
     """256-level CDF of a flat uint8 channel, scatter-free: cdf[l] =
-    mean(x <= l) via a broadcast compare + reduction (MXU/VPU-friendly —
-    TPU scatters made the bincount formulation ~10x slower)."""
-    levels = jnp.arange(256, dtype=jnp.int32)
-    return jnp.mean(
-        (x_u8[:, None] <= levels[None, :]).astype(jnp.float32), axis=0
-    )
+    mean(x <= l) via a broadcast compare reduced on the MXU (TPU scatters
+    made the bincount formulation ~10x slower)."""
+    xs = x_u8[::stride]
+    n = xs.shape[0]
+    levels = jnp.arange(256, dtype=xs.dtype)
+    ind = (xs[:, None] <= levels[None, :]).astype(jnp.bfloat16)
+    ones = jnp.ones((n,), jnp.bfloat16)
+    counts = jnp.matmul(ones, ind, preferred_element_type=jnp.float32)
+    return counts / n
 
 
-def _hist_lut_u8(src_u8: jnp.ndarray, ref_u8: jnp.ndarray) -> jnp.ndarray:
-    """256-entry histogram-matching LUT for one flat uint8 channel pair.
+def _hist_match_u8(
+    image_u8: jnp.ndarray, ref_u8: jnp.ndarray, cdf_ref=None
+) -> jnp.ndarray:
+    """(F, H, W, 3) uint8 matched per-frame per-channel to ref (H, W, 3).
 
-    For uint8 data a 256-bin CDF match is the exact histogram match — and
-    orders of magnitude cheaper on TPU than the sort-based float path
-    (no 262k-element argsorts per channel)."""
-    cdf_s = _cdf256(src_u8)
-    cdf_r = _cdf256(ref_u8)
-    return jnp.clip(jnp.searchsorted(cdf_r, cdf_s), 0, 255).astype(jnp.uint8)
-
-
-def _hist_match_u8(image_u8: jnp.ndarray, ref_u8: jnp.ndarray) -> jnp.ndarray:
-    """(F, H, W, 3) uint8 matched per-frame per-channel to ref (H, W, 3)."""
+    cdf_ref (3, 256) can be precomputed once and shared across both
+    histogram stages of the hm-mkl-hm pipeline."""
     F, H, W, C = image_u8.shape
     flat = image_u8.reshape(F, H * W, C).astype(jnp.int32)
-    ref_flat = ref_u8.reshape(H * W, C).astype(jnp.int32)
+    if cdf_ref is None:
+        cdf_ref = _ref_cdfs(ref_u8)
 
     def per_frame(img):
-        def per_chan(s, r):
-            lut = _hist_lut_u8(s, r)
+        def per_chan(s, cdf_r):
+            stride = _CDF_STRIDE if s.shape[0] >= 1 << 16 else 1
+            cdf_s = _cdf256(s, stride)
+            lut = jnp.clip(jnp.searchsorted(cdf_r, cdf_s), 0, 255).astype(jnp.uint8)
             return lut[s]
 
-        return jax.vmap(per_chan, in_axes=(1, 1), out_axes=1)(img, ref_flat)
+        return jax.vmap(per_chan, in_axes=(1, 0), out_axes=1)(img, cdf_ref)
 
     return jax.vmap(per_frame)(flat).reshape(image_u8.shape)
+
+
+def _ref_cdfs(ref_u8: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 3) uint8 -> (3, 256) exact per-channel CDFs."""
+    ref_flat = ref_u8.reshape(-1, 3).astype(jnp.int32)
+    return jax.vmap(_cdf256, in_axes=1)(ref_flat)
 
 
 def _mkl_transfer_ns(image: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
@@ -157,7 +168,8 @@ def match_colors_u8(frames: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
     the final per-window readback). Histogram stages use exact 256-bin LUT
     matching; the MKL linear transfer stays in float (Newton-Schulz roots)."""
     ref = ref.astype(jnp.uint8)
-    x = _hist_match_u8(frames.astype(jnp.uint8), ref)
+    cdf_ref = _ref_cdfs(ref)  # shared by both histogram stages
+    x = _hist_match_u8(frames.astype(jnp.uint8), ref, cdf_ref)
     xf = jax.vmap(lambda f: _mkl_transfer_ns(f, ref.astype(jnp.float32)))(x.astype(jnp.float32))
     x = jnp.clip(xf + 0.5, 0.0, 255.0).astype(jnp.uint8)
-    return _hist_match_u8(x, ref)
+    return _hist_match_u8(x, ref, cdf_ref)
