@@ -42,6 +42,12 @@ def run(frames: np.ndarray) -> np.ndarray:
         return dpt_hybrid.run_flax(frames, model_dir)
     except (FileNotFoundError, KeyError):
         pass
+    try:
+        from . import glpn
+
+        return glpn.run_flax(frames, model_dir)
+    except (FileNotFoundError, KeyError):
+        pass
     if "model" not in _CACHE:
         import torch
         from transformers import AutoImageProcessor, AutoModelForDepthEstimation

@@ -475,6 +475,46 @@ def test_dpt_hybrid_matches_transformers():
     np.testing.assert_allclose(fout, tout, atol=5e-4, rtol=1e-3)
 
 
+def test_glpn_matches_transformers():
+    """Flax GLPN (SegFormer encoder + selective-fusion decoder) vs
+    transformers GLPNForDepthEstimation with identical tiny weights."""
+    import torch
+    import jax.numpy as jnp
+    transformers = pytest.importorskip("transformers")
+
+    from controlanimate_tpu.models.annotators.glpn import (
+        GLPNCfg,
+        GLPNDepth,
+        glpn_params_from_torch,
+    )
+
+    cfg = transformers.GLPNConfig(
+        hidden_sizes=[8, 16, 24, 32], depths=[1, 1, 1, 1], sr_ratios=[4, 2, 2, 1],
+        num_attention_heads=[1, 2, 3, 4], patch_sizes=[7, 3, 3, 3],
+        strides=[4, 2, 2, 2], mlp_ratios=[2, 2, 2, 2], decoder_hidden_size=16,
+        max_depth=10, drop_path_rate=0.0,
+    )
+    torch.manual_seed(0)
+    tm = transformers.GLPNForDepthEstimation(cfg).eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.copy_(torch.randn(m.running_mean.shape) * 0.05)
+                m.running_var.copy_(torch.rand(m.running_var.shape) * 0.5 + 0.75)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+
+    jcfg = GLPNCfg.from_json(cfg.to_dict())
+    model = GLPNDepth(jcfg)
+    params = glpn_params_from_torch(sd, jcfg)
+
+    x = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        want = tm(pixel_values=torch.from_numpy(x.transpose(0, 3, 1, 2))).predicted_depth.numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    assert got.shape == want.shape == (1, 64, 64)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
 def test_dpt_depth_matches_transformers():
     """Flax DPT port vs transformers DPTForDepthEstimation with identical
     (random, tiny, bias-shifted) weights."""
