@@ -113,12 +113,16 @@ def main(frames: int = 16, size: int = 512, steps: int = 4, iters: int = 5):
     # device-converted yuv420p (exactly what scripts/vid2vid.py feeds x264)
     from concurrent.futures import ThreadPoolExecutor
 
-    from controlanimate_tpu.ops.yuv import rgb_to_yuv420
+    from controlanimate_tpu.ops.stitch import stitch_window
 
     def run_window(x_dev):
-        return rgb_to_yuv420(
-            pipeline.animate_async(x_dev, None, overlaps=0, seed=cfg.seed)
+        # the orchestrator's fused stitch program (here with no anchors:
+        # slices + yuv pack in one dispatch, exactly the product's window 0)
+        out = pipeline.animate_async(x_dev, None, overlaps=0, seed=cfg.seed)
+        packed, _, _, _ = stitch_window(
+            out, None, None, overlap_length=0, to_yuv=True, emit=frames
         )
+        return packed
 
     ex = ThreadPoolExecutor(max_workers=2)
     staged = ex.submit(jnp.asarray, inputs[0])

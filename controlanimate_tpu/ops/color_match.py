@@ -116,6 +116,21 @@ def _cdf256(x_u8: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
     return counts / n
 
 
+def _lut_apply(lut: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """Apply a 256-entry LUT to int32 values WITHOUT a gather: decompose the
+    index into two nibbles and select via one-hot matmul + masked reduce —
+    TPU gathers measured ~140ms for a 262k lookup, this form runs on the
+    MXU/VPU. Exact for integer-valued LUTs."""
+    hi = s >> 4
+    lo = s & 15
+    nib = jnp.arange(16, dtype=s.dtype)
+    oh_hi = (hi[:, None] == nib[None, :]).astype(jnp.bfloat16)
+    oh_lo = (lo[:, None] == nib[None, :]).astype(jnp.bfloat16)
+    lut2d = lut.reshape(16, 16).astype(jnp.bfloat16)
+    rows = jnp.matmul(oh_hi, lut2d, preferred_element_type=jnp.float32)  # (N, 16)
+    return jnp.sum(rows * oh_lo.astype(jnp.float32), axis=-1)
+
+
 def _hist_match_u8(
     image_u8: jnp.ndarray, ref_u8: jnp.ndarray, cdf_ref=None
 ) -> jnp.ndarray:
@@ -132,8 +147,8 @@ def _hist_match_u8(
         def per_chan(s, cdf_r):
             stride = _CDF_STRIDE if s.shape[0] >= 1 << 16 else 1
             cdf_s = _cdf256(s, stride)
-            lut = jnp.clip(jnp.searchsorted(cdf_r, cdf_s), 0, 255).astype(jnp.uint8)
-            return lut[s]
+            lut = jnp.clip(jnp.searchsorted(cdf_r, cdf_s), 0, 255)
+            return _lut_apply(lut, s).astype(jnp.uint8)
 
         return jax.vmap(per_chan, in_axes=(1, 0), out_axes=1)(img, cdf_ref)
 

@@ -252,6 +252,110 @@ def bench_motion():
             timeit(f"  {name}", jax.jit(fn), x)
 
 
+def bench_motion_incontext():
+    """In-context motion-module ablations: monkeypatch pieces of the motion
+    stack and measure the FULL UNet forward (single-dispatch micro-timings
+    can't resolve sub-30ms ops through the tunnel)."""
+    from flax import linen as nn
+
+    from controlanimate_tpu.models import motion_module as mm
+    from controlanimate_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
+
+    key = jax.random.PRNGKey(0)
+    B, F, h, w = 2, 16, 64, 64
+    sample = jax.random.normal(key, (B, F, h, w, 4), jnp.bfloat16)
+    t = jnp.asarray([500, 500])
+    ctx = jax.random.normal(key, (B, 77, 768), jnp.bfloat16)
+
+    def measure(tag):
+        model = UNet3DConditionModel(UNet3DConfig(), dtype=jnp.bfloat16)
+        params = jax.jit(
+            lambda k: model.init(
+                k, jnp.zeros((1, 2, 8, 8, 4), jnp.bfloat16), jnp.asarray([1]), ctx[:1]
+            )["params"]
+        )(key)
+        f = jax.jit(lambda p, s, tt, c: model.apply({"params": p}, s, tt, c))
+        timeit(f"unet[{tag}]", f, params, sample, t, ctx)
+
+    orig_attn = mm.TemporalEinsumAttention.__call__
+    orig_block = mm.TemporalAttentionBlock.__call__
+    orig_tblock = mm.TemporalTransformerBlock.__call__
+
+    measure("motion-full")
+
+    # (a) attention math removed, projections kept (isolates einsum+softmax)
+    def attn_projs_only(self, hcat):
+        B_, F_, N_, C_ = hcat.shape
+        q = nn.Dense(C_, use_bias=False, name="to_q", dtype=self.dtype)(hcat)
+        k = nn.Dense(C_, use_bias=False, name="to_k", dtype=self.dtype)(hcat)
+        v = nn.Dense(C_, use_bias=False, name="to_v", dtype=self.dtype)(hcat)
+        return nn.Dense(C_, name="to_out_0", dtype=self.dtype)(q + k + v)
+
+    mm.TemporalEinsumAttention.__call__ = attn_projs_only
+    measure("motion-no-attn-math")
+    mm.TemporalEinsumAttention.__call__ = orig_attn
+
+    # (b) whole attention blocks identity (isolates LN+PE+attn)
+    def block_identity(self, x):
+        return x
+
+    mm.TemporalAttentionBlock.__call__ = block_identity
+    measure("motion-no-attn-blocks")
+    mm.TemporalAttentionBlock.__call__ = orig_block
+
+    # (c) transformer block = attention only, no FFN/norm
+    def tblock_no_ffn(self, x):
+        for i, _ in enumerate(self.attention_block_types):
+            x = mm.TemporalAttentionBlock(
+                self.heads, self.max_len, self.use_pos_encoding,
+                name=f"attention_blocks_{i}", dtype=self.dtype,
+            )(x)
+        return x
+
+    mm.TemporalTransformerBlock.__call__ = tblock_no_ffn
+    measure("motion-no-ffn")
+    mm.TemporalTransformerBlock.__call__ = orig_tblock
+
+
+def bench_colorops():
+    """Color-match sub-op breakdown (repeat-looped inside one jit to beat
+    the ~25ms dispatch floor)."""
+    import numpy as np
+
+    from controlanimate_tpu.ops import color_match as cm
+
+    rng = np.random.RandomState(0)
+    frames = jnp.asarray(rng.randint(0, 256, (16, 512, 512, 3)).astype("uint8"))
+    ref = jnp.asarray(rng.randint(0, 256, (512, 512, 3)).astype("uint8"))
+
+    timeit("match_colors_u8 (full)", jax.jit(cm.match_colors_u8), frames, ref)
+
+    hist_only = jax.jit(lambda f, r: cm._hist_match_u8(f, r, cm._ref_cdfs(r)))
+    timeit("hist_match_u8 stage", hist_only, frames, ref)
+
+    mkl_only = jax.jit(
+        lambda f, r: jax.vmap(lambda x: cm._mkl_transfer_ns(x, r.astype(jnp.float32)))(
+            f.astype(jnp.float32)
+        )
+    )
+    timeit("mkl_ns stage", mkl_only, frames, ref)
+
+    # LUT gather alone: apply an identity LUT per channel
+    def lut_apply(f):
+        lut = jnp.arange(256, dtype=jnp.uint8)
+        return lut[f.astype(jnp.int32)]
+
+    timeit("lut gather 16f", jax.jit(lut_apply), frames)
+
+    # CDF estimation alone (stride 4, one frame-channel x 48)
+    def cdfs(f):
+        flat = f.reshape(16, -1, 3).astype(jnp.int32)
+        return jax.vmap(lambda img: jax.vmap(
+            lambda s: cm._cdf256(s, 4), in_axes=1)(img))(flat)
+
+    timeit("cdf256 x48 (stride4)", jax.jit(cdfs), frames)
+
+
 def bench_window_staged():
     """Facade window with the input frames PRE-STAGED on device — isolates
     compute + output readback from the input transfer."""
@@ -312,7 +416,7 @@ def bench_ablate():
     # pallas on/off comparison for the full unet
     from controlanimate_tpu.ops import attention as attn_mod
 
-    attn_mod.set_pallas_enabled(False)
+    attn_mod.set_pallas_enabled(True)
     model = UNet3DConditionModel(UNet3DConfig(), dtype=jnp.bfloat16)
     params = jax.jit(
         lambda k: model.init(
@@ -320,8 +424,8 @@ def bench_ablate():
         )["params"]
     )(key)
     f = jax.jit(lambda p, s, t, c: model.apply({"params": p}, s, t, c))
-    timeit("unet[full, xla-attn]", f, params, sample, t, ctx)
-    attn_mod.set_pallas_enabled(True)
+    timeit("unet[full, pallas-attn]", f, params, sample, t, ctx)
+    attn_mod.set_pallas_enabled(False)
 
 
 if __name__ == "__main__":
@@ -350,6 +454,10 @@ if __name__ == "__main__":
         bench_programs()
     if "motion" in which:
         bench_motion()
+    if "colorops" in which:
+        bench_colorops()
+    if "motion2" in which:
+        bench_motion_incontext()
     if "window" in which:
         bench_window()
     if "staged" in which:

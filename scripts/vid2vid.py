@@ -33,13 +33,17 @@ import jax.numpy as jnp
 
 from controlanimate_tpu.config import RunConfig, StitchState
 from controlanimate_tpu.io import media
-from controlanimate_tpu.ops.blending import blend_overlap_u8
-from controlanimate_tpu.ops.color_match import match_colors_u8
 from controlanimate_tpu.ops.yuv import rgb_to_yuv420
 from controlanimate_tpu.utils.profiling import PhaseTimers, maybe_trace
 
 
 STATE_FILE = "stitch_state.npz"
+
+
+def _get_stitch_window():
+    from controlanimate_tpu.ops.stitch import stitch_window
+
+    return stitch_window
 
 
 def _save_state(out_dir: Path, state: StitchState, consumed: int, frames_written: int,
@@ -386,32 +390,40 @@ def vid2vid(
                 )
         frames_dev = out  # (F, H, W, 3) uint8, device-resident
 
-        # color match against the previous anchor (vid2vid.py:216-220)
-        if state.last_output_frame is not None:
-            with timers.phase("color_match"):
-                frames_dev = match_colors_u8(
-                    frames_dev, jnp.asarray(state.last_output_frame)
-                )
-
-        state.last_output_frame = frames_dev[max(overlap_length - 1, -1)]
-        if overlap_length > 0:
-            state.last_output_frames = frames_dev[-overlap_length:]
-
-        # blend head overlap slots with previous epoch versions (:225-227)
-        if overlaps:
-            blended = blend_overlap_u8(
-                frames_dev[:overlaps], jnp.asarray(state.overlap_frames)
+        # fused stitch program: color match (vid2vid.py:216-220) -> anchors
+        # -> overlap blend (:225-227) -> emit slice -> yuv pack
+        F_cur = int(frames_dev.shape[0])
+        emit = F_cur - min(overlap_length, F_cur) if overlap_length > 0 else F_cur
+        to_yuv = (
+            sink_pix_fmt == "yuv420p" and upscaler is None and upscale <= 1.0
+            and not cfg.save_frames
+        )
+        with timers.phase("stitch"):
+            anchor = (
+                jnp.asarray(state.last_output_frame)
+                if state.last_output_frame is not None else None
             )
-            frames_dev = jnp.concatenate([blended, frames_dev[overlaps:]])
-
+            prev_overlap = (
+                jnp.asarray(state.overlap_frames) if overlaps else None
+            )
+            packed, new_anchor, last_out_dev, tail_dev = _get_stitch_window()(
+                frames_dev, anchor, prev_overlap,
+                overlap_length=overlap_length, to_yuv=to_yuv, emit=emit,
+            )
+        state.last_output_frame = new_anchor
         if overlap_length > 0:
-            state.overlap_frames = frames_dev[-overlap_length:]
+            state.last_output_frames = last_out_dev
+            state.overlap_frames = tail_dev
             state.overlap_input_frames = batch[-overlap_length:]
 
         # emit all but the tail overlap; the tail is flushed after the loop
-        emit = int(frames_dev.shape[0]) - state.overlap_length
         with timers.phase("upscale_and_emit"):
-            emitted_host = _emit(frames_dev[:emit])
+            if to_yuv:
+                emitted_host = []
+                for fr in np.asarray(packed):
+                    frame_sink.write(fr)
+            else:
+                emitted_host = _emit(packed)
             frames_written += emit
 
         if cfg.save_frames:
@@ -431,7 +443,9 @@ def vid2vid(
                 snap = dataclasses.asdict(cfg)
                 snap["seed"] = seed
                 info.write_text(json.dumps(snap, indent=2, default=str))
-            out_host = emitted_host or list(np.asarray(frames_dev[:emit]))
+            # `packed` holds the post-stitch RGB emit frames here (to_yuv is
+            # forced off when save_frames is on)
+            out_host = emitted_host or list(np.asarray(packed))
             for i, frame in enumerate(out_host):
                 Image.fromarray(np.asarray(frame, np.uint8)).save(
                     fdir / f"{frames_written - emit + i + 1:04d}.png"
