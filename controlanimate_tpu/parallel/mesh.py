@@ -56,9 +56,34 @@ def shard_batch(mesh: Mesh) -> NamedSharding:
 
 
 def shard_params(mesh: Mesh, params):
-    """Parameters replicated across the mesh (SD1.5 fits per chip; a tensor-
-    parallel `model` axis can shard attention/mlp kernels later)."""
+    """Parameters replicated across the mesh (SD1.5 fits per chip); when the
+    mesh carries a non-trivial `model` axis, large kernels shard tensor-
+    parallel instead (see shard_params_tp)."""
+    if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+        return shard_params_tp(mesh, params)
     return jax.device_put(params, replicated(mesh))
+
+
+def shard_params_tp(mesh: Mesh, params, axis: str = "model", min_size: int = 1 << 16):
+    """Tensor parallelism over the UNet/VAE channel dims: shard the OUTPUT
+    feature dim (last axis of conv HWIO / dense (in, out) kernels) across
+    the `model` mesh axis; small tensors (biases, norms, embeddings) stay
+    replicated. GSPMD propagates the shardings through the jitted window
+    programs and inserts the collectives — Megatron-style column parallelism
+    without manual partitioning (SURVEY §2.13: TP listed optional)."""
+    n = mesh.shape[axis]
+
+    def place(x):
+        if (
+            getattr(x, "ndim", 0) >= 2
+            and x.size >= min_size
+            and x.shape[-1] % n == 0
+        ):
+            spec = P(*([None] * (x.ndim - 1) + [axis]))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, replicated(mesh))
+
+    return jax.tree_util.tree_map(place, params)
 
 
 def _fits(x, mesh: Mesh, axes: Sequence[str], dims: Sequence[int]) -> bool:

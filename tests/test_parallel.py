@@ -104,6 +104,40 @@ def test_euler_cfg_sharded_equals_single_device(stacks, eight_devices):
     )
 
 
+def test_tensor_parallel_equals_single_device(stacks, eight_devices):
+    """Model-axis (tensor-parallel) sharding of the UNet/VAE kernels on a
+    1x1x8 data x context x model mesh must reproduce single-device output
+    (GSPMD inserts the collectives)."""
+    from controlanimate_tpu.parallel.mesh import shard_params_tp
+
+    st = WindowStatic(
+        scheduler_name="EulerDiscreteScheduler", steps=2, guidance_scale=7.5,
+        strength=0.9,
+    )
+    frames = jax.random.uniform(jax.random.PRNGKey(1), (1, 2, 32, 32, 3)) * 2 - 1
+    text = jnp.concatenate(
+        [jnp.zeros((1, 7, 16)), jax.random.normal(jax.random.PRNGKey(3), (1, 7, 16))]
+    )
+    single = _engine(stacks).generate_window(
+        st, text, jax.random.PRNGKey(0), input_frames=frames
+    )
+
+    mesh = make_mesh((1, 1, 8), ("data", "context", "model"), eight_devices)
+    eng = _engine(stacks)
+    # low threshold so the tiny test kernels actually shard
+    eng.m.unet_params = shard_params_tp(mesh, eng.m.unet_params, min_size=64)
+    eng.m.vae_params = shard_params_tp(mesh, eng.m.vae_params, min_size=64)
+    sharded = eng.generate_window(
+        st,
+        jax.device_put(text, replicated(mesh)),
+        jax.random.PRNGKey(0),
+        input_frames=jax.device_put(frames, replicated(mesh)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(single), atol=2e-4, rtol=1e-3
+    )
+
+
 def test_lcm_controlnet_sharded_equals_single_device(stacks, eight_devices):
     """LCM + ControlNet window (the headline profile family) on a 1x8
     context mesh == single device."""
