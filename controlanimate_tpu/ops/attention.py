@@ -14,11 +14,14 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-# Measured on v5e (full UNet3D forward): XLA's fused attention is ~12%
-# faster in-context than the Pallas flash kernel (458 vs 521 ms), so XLA is
-# the default; the Pallas kernel remains available (set_pallas_enabled /
-# CONTROLANIMATE_PALLAS_ATTENTION=1) — it compiles ~700x faster through the
-# remote-compile tunnel, which matters for cold starts.
+# Measured on v5e (r2): for the UNet's spatial shapes (N=4096, D=40) XLA's
+# fused attention wins — per-call ~12ms vs our Pallas flash kernel ~16ms
+# (bf16-matmul version; the f32-matmul version was 1.8x slower) and vs the
+# STOCK jax.experimental TPU flash kernel ~68-130ms (it pads D 40->128 and
+# is tuned for LLM head dims). XLA is the default; the Pallas kernel remains
+# available (set_pallas_enabled / CONTROLANIMATE_PALLAS_ATTENTION=1) — it
+# compiles ~700x faster through the remote-compile tunnel, which matters
+# for cold starts.
 import os as _os
 
 _PALLAS_ENABLED = _os.environ.get("CONTROLANIMATE_PALLAS_ATTENTION", "0") == "1"

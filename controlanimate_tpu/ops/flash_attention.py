@@ -24,24 +24,27 @@ NEG_INF = -1e30
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, kv_len: int):
-    q = q_ref[0].astype(jnp.float32) * scale  # (BQ, D)
+    # keep the matmul INPUTS in the IO dtype (bf16): the MXU's f32 rate is
+    # ~8x lower than bf16 — accumulation stays f32 via preferred_element_type
+    q = q_ref[0]  # (BQ, D), bf16
     bq, d = q.shape
     num_k_blocks = kv_len // block_k
 
     def body(i, carry):
         acc, m, l = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)  # (BK, D)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]  # (BK, D), bf16
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (BQ, BK)
+        ) * scale  # (BQ, BK) f32 (scale applied post-dot in f32)
         m_blk = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m, m_blk)
         p = jnp.exp(s - m_new)
         correction = jnp.exp(m - m_new)
         l_new = l * correction + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * correction + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return acc_new, m_new, l_new
 

@@ -52,6 +52,24 @@ def bench_attention():
         timeit("  xla_fused", xla, q, k, v)
         pallas = jax.jit(lambda q, k, v: flash_attention(q, k, v))
         timeit("  pallas_flash", pallas, q, k, v)
+        try:
+            import math
+
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention as stock_flash,
+            )
+
+            def stock(q, k, v):
+                # stock kernel layout: (B, H, N, D)
+                qt = q.transpose(0, 2, 1, 3)
+                kt = k.transpose(0, 2, 1, 3)
+                vt = v.transpose(0, 2, 1, 3)
+                o = stock_flash(qt, kt, vt, sm_scale=1.0 / math.sqrt(q.shape[-1]))
+                return o.transpose(0, 2, 1, 3)
+
+            timeit("  stock_flash", jax.jit(stock), q, k, v)
+        except Exception as e:
+            log(f"  stock_flash unavailable: {e}")
 
 
 def bench_unet():
