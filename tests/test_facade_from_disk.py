@@ -198,6 +198,123 @@ def test_build_from_disk_and_animate(snapshot):
     assert out.dtype == np.uint8
 
 
+def _ip_plus_files(root: Path, rs, cross=D_CTX):
+    """Synthetic IP-Adapter-PLUS checkpoint + tiny CLIP vision encoder dir."""
+    import torch
+
+    # vision encoder: hidden 16, 2 layers, image 224/patch 16 (197 tokens)
+    vh, layers, inter, proj = 16, 2, 32, 12
+    enc = root / "image_encoder"
+    enc.mkdir()
+    (enc / "config.json").write_text(json.dumps({
+        "hidden_size": vh, "num_hidden_layers": layers, "num_attention_heads": 2,
+        "intermediate_size": inter, "image_size": 224, "patch_size": 16,
+        "projection_dim": proj,
+    }))
+    sd = {
+        "vision_model.embeddings.patch_embedding.weight": rs.randn(vh, 3, 16, 16) * 0.05,
+        "vision_model.embeddings.class_embedding": rs.randn(vh) * 0.05,
+        "vision_model.embeddings.position_embedding.weight": rs.randn(197, vh) * 0.02,
+        "vision_model.pre_layrnorm.weight": np.ones(vh),
+        "vision_model.pre_layrnorm.bias": np.zeros(vh),
+        "vision_model.post_layernorm.weight": np.ones(vh),
+        "vision_model.post_layernorm.bias": np.zeros(vh),
+        "visual_projection.weight": rs.randn(proj, vh) * 0.05,
+    }
+    for i in range(layers):
+        p = f"vision_model.encoder.layers.{i}"
+        for pr in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            sd[f"{p}.self_attn.{pr}.weight"] = rs.randn(vh, vh) * 0.05
+            sd[f"{p}.self_attn.{pr}.bias"] = np.zeros(vh)
+        sd[f"{p}.layer_norm1.weight"] = np.ones(vh)
+        sd[f"{p}.layer_norm1.bias"] = np.zeros(vh)
+        sd[f"{p}.layer_norm2.weight"] = np.ones(vh)
+        sd[f"{p}.layer_norm2.bias"] = np.zeros(vh)
+        sd[f"{p}.mlp.fc1.weight"] = rs.randn(inter, vh) * 0.05
+        sd[f"{p}.mlp.fc1.bias"] = np.zeros(inter)
+        sd[f"{p}.mlp.fc2.weight"] = rs.randn(vh, inter) * 0.05
+        sd[f"{p}.mlp.fc2.bias"] = np.zeros(vh)
+    _save_safetensors(enc / "model.safetensors", {k: np.asarray(v, np.float32) for k, v in sd.items()})
+
+    # PLUS image_proj (Resampler, 6 query tokens, depth 1, inner 64)
+    dim, nq, inner, ff = cross, 6, 64, cross * 4
+    ip: dict = {
+        "image_proj.latents": rs.randn(1, nq, dim) * 0.05,
+        "image_proj.proj_in.weight": rs.randn(dim, vh) * 0.05,
+        "image_proj.proj_in.bias": np.zeros(dim),
+        "image_proj.proj_out.weight": rs.randn(cross, dim) * 0.05,
+        "image_proj.proj_out.bias": np.zeros(cross),
+        "image_proj.norm_out.weight": np.ones(cross),
+        "image_proj.norm_out.bias": np.zeros(cross),
+        "image_proj.layers.0.0.norm1.weight": np.ones(dim),
+        "image_proj.layers.0.0.norm1.bias": np.zeros(dim),
+        "image_proj.layers.0.0.norm2.weight": np.ones(dim),
+        "image_proj.layers.0.0.norm2.bias": np.zeros(dim),
+        "image_proj.layers.0.0.to_q.weight": rs.randn(inner, dim) * 0.05,
+        "image_proj.layers.0.0.to_kv.weight": rs.randn(inner * 2, dim) * 0.05,
+        "image_proj.layers.0.0.to_out.weight": rs.randn(dim, inner) * 0.05,
+        "image_proj.layers.0.1.0.weight": np.ones(dim),
+        "image_proj.layers.0.1.0.bias": np.zeros(dim),
+        "image_proj.layers.0.1.1.weight": rs.randn(ff, dim) * 0.05,
+        "image_proj.layers.0.1.3.weight": rs.randn(dim, ff) * 0.05,
+    }
+    # dual-stream K/V for every attn2, in checkpoint order
+    from controlanimate_tpu.pipelines.ip_adapter import IPAdapter
+
+    helper = IPAdapter.random_init(cross_attention_dim=cross)
+    for i, path in enumerate(helper.attn2_paths_in_checkpoint_order(UCFG)):
+        level = int(path.split("_")[2]) if "blocks" in path else None
+        if path.startswith("down_blocks"):
+            inner_d = UCFG.block_out_channels[level]
+        elif path.startswith("up_blocks"):
+            inner_d = list(reversed(UCFG.block_out_channels))[level]
+        else:
+            inner_d = UCFG.block_out_channels[-1]
+        ck = 2 * i + 1
+        ip[f"ip_adapter.{ck}.to_k_ip.weight"] = rs.randn(inner_d, cross) * 0.05
+        ip[f"ip_adapter.{ck}.to_v_ip.weight"] = rs.randn(inner_d, cross) * 0.05
+    torch.save(
+        {k: torch.from_numpy(np.asarray(v, np.float32)) for k, v in ip.items()},
+        root / "ip-adapter-plus_tiny.bin",
+    )
+    return enc, root / "ip-adapter-plus_tiny.bin"
+
+
+def test_build_from_disk_with_ip_adapter_plus(snapshot):
+    """use_ipadapter + a PLUS-layout checkpoint: the facade must detect the
+    Resampler variant, build the UNet with ip_tokens == num_queries, inject
+    the K/V weights, and animate end to end (VERDICT r1 #4)."""
+    from controlanimate_tpu.pipelines.facade import ControlAnimatePipeline
+    from controlanimate_tpu.pipelines.ip_adapter import Resampler
+
+    rs = np.random.RandomState(5)
+    if not (snapshot / "image_encoder").exists():
+        enc, ckpt = _ip_plus_files(snapshot, rs)
+    else:
+        enc, ckpt = snapshot / "image_encoder", snapshot / "ip-adapter-plus_tiny.bin"
+    cfg = _run_cfg(
+        snapshot,
+        use_ipadapter=True, ipa_scale=0.5,
+        ipadapter_image_encoder_path=str(enc),
+        ipadapter_ckpt_path=str(ckpt),
+    )
+    pipe = ControlAnimatePipeline(cfg)
+    assert isinstance(pipe.ip_adapter.proj_model, Resampler)
+    assert pipe.ip_adapter.num_tokens == 6
+    assert pipe.ip_adapter.embed_source == "penultimate"
+    assert pipe.models.unet.config.ip_tokens == 6
+    # injected structural K/V present
+    attn2 = pipe.models.unet_params["down_blocks_0_attentions_0"]["transformer_blocks_0"]["attn2"]
+    assert "to_k_ip" in attn2 and "to_v_ip" in attn2
+
+    frames = (np.random.RandomState(1).rand(2, 64, 64, 3) * 255).astype(np.uint8)
+    # second window with an anchor exercises the vision tower + Resampler
+    out1 = pipe.animate(frames, None, overlaps=0, strength=0.9, seed=3)
+    out2 = pipe.animate(frames, out1[-1:], overlaps=1,
+                        strength=0.9, seed=3)
+    assert out2.shape == (2, 64, 64, 3) and out2.dtype == np.uint8
+
+
 def test_build_from_disk_with_lora(snapshot):
     from controlanimate_tpu.pipelines.facade import ControlAnimatePipeline
 
