@@ -335,6 +335,31 @@ def bench_motion_incontext():
     mm.TemporalTransformerBlock.__call__ = orig_tblock
 
 
+def bench_vae_chunked():
+    """Does chunking the 16-frame VAE decode relieve memory pressure?"""
+    from controlanimate_tpu.models.vae import AutoencoderKL
+
+    vae = AutoencoderKL(dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(
+        lambda k: vae.init(k, jnp.zeros((1, 64, 64, 3), jnp.bfloat16))["params"]
+    )(key)
+    z = jax.random.normal(key, (16, 64, 64, 4), jnp.bfloat16)
+
+    def dec_all(p, z):
+        return vae.apply({"params": p}, z, method=AutoencoderKL.decode)
+
+    timeit("decode 16f monolithic", jax.jit(dec_all), params, z)
+
+    for chunk in (8, 4):
+        def dec_chunked(p, z, chunk=chunk):
+            zc = z.reshape(16 // chunk, chunk, 64, 64, 4)
+            out = jax.lax.map(lambda zz: vae.apply({"params": p}, zz, method=AutoencoderKL.decode), zc)
+            return out.reshape(16, 512, 512, 3)
+
+        timeit(f"decode 16f in {16//chunk}x{chunk} chunks", jax.jit(dec_chunked), params, z)
+
+
 def bench_colorops():
     """Color-match sub-op breakdown (repeat-looped inside one jit to beat
     the ~25ms dispatch floor)."""
@@ -474,6 +499,8 @@ if __name__ == "__main__":
         bench_motion()
     if "colorops" in which:
         bench_colorops()
+    if "vaechunk" in which:
+        bench_vae_chunked()
     if "motion2" in which:
         bench_motion_incontext()
     if "window" in which:

@@ -76,3 +76,30 @@ def test_job_api_roundtrip(monkeypatch, tmp_path):
     code, err = _post(f"{base}/jobs", {"bad": 1})
     assert code == 400
     httpd.shutdown()
+
+
+def test_bearer_token_auth():
+    """When a token is configured, unauthenticated requests get 401 and
+    Bearer-authenticated ones pass (serve.py binds loopback by default and
+    requires --token beyond loopback)."""
+    from http.server import ThreadingHTTPServer
+
+    from scripts import serve
+
+    class AuthHandler(serve.Handler):
+        auth_token = "s3cret"
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), AuthHandler)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    code, resp = _get(f"{base}/healthz")
+    assert code == 401
+
+    req = urllib.request.Request(
+        f"{base}/healthz", headers={"Authorization": "Bearer s3cret"}
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+    httpd.shutdown()
