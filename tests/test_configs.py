@@ -31,6 +31,17 @@ def test_sample_profiles(name, expect):
     assert cfg.frame_count == 16 and cfg.overlap_length == 8
 
 
+def test_new_profiles_parse():
+    """TPU-native extension profiles (txt2vid length, device mesh)."""
+    t2v = RunConfig.from_yaml(ROOT / "configs/prompts/SampleConfigTxt2Vid.yaml")
+    assert t2v.extras == {}
+    assert t2v.total_frames == 48 and t2v.input_video_path == ""
+    mesh = RunConfig.from_yaml(ROOT / "configs/prompts/SampleConfigMultiChip.yaml")
+    assert mesh.extras == {}
+    assert tuple(mesh.mesh_shape) == (1, 8)
+    assert tuple(mesh.mesh_axes) == ("data", "context")
+
+
 def test_ipadapter_profile_flags():
     cfg = RunConfig.from_yaml(ROOT / "configs/prompts/SampleConfigIPAdapter.yaml")
     assert cfg.use_ipadapter and cfg.do_initial_generation and cfg.guess_mode
