@@ -21,7 +21,58 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import GroupNorm
-from ..ops.attention import dot_product_attention
+from ..ops.attention import dot_product_attention, _on_tpu
+from ..ops import conv_kernel as ck
+
+
+class _GNParams(nn.Module):
+    """GroupNorm scale/bias with the same param tree as the GroupNorm module
+    (so the fused-conv path can fold the norm without applying it)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return scale, bias
+
+
+class _ConvParams(nn.Module):
+    """3x3 conv kernel/bias with the same param tree as nn.Conv."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, self.in_features, self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return kernel, bias
+
+
+def _fusable(x, cout: int) -> bool:
+    _, H, W, Cin = x.shape
+    return ck.conv_kernel_enabled() and ck._supported(H, W, Cin, cout)
+
+
+def _gn_silu_conv(x, gn_params, conv_params, groups, dtype, residual=None):
+    """GroupNorm -> SiLU -> conv3x3 [+ residual]: one Pallas kernel on TPU
+    when enabled/aligned, else the XLA oracle path (identical numerics)."""
+    scale, bias = gn_params
+    kernel, cbias = conv_params
+    affine = ck.groupnorm_fold(x, scale, bias, groups)
+    if _fusable(x, kernel.shape[-1]):
+        return ck.conv3x3_fused(
+            x, kernel.astype(dtype), cbias, affine=affine, act="silu",
+            residual=residual, interpret=not _on_tpu(),
+        )
+    return ck.conv3x3_xla(
+        x, kernel.astype(dtype), cbias, affine=affine, act="silu", residual=residual
+    )
 
 
 class VaeResnetBlock(nn.Module):
@@ -31,18 +82,19 @@ class VaeResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        x = x.astype(self.dtype)
         in_ch = x.shape[-1]
-        h = GroupNorm(self.groups, name="norm1")(x)
-        h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1", dtype=self.dtype)(h)
-        h = GroupNorm(self.groups, name="norm2")(h)
-        h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2", dtype=self.dtype)(h)
+        gn1 = _GNParams(in_ch, name="norm1")()
+        cv1 = _ConvParams(in_ch, self.out_channels, name="conv1")()
+        gn2 = _GNParams(self.out_channels, name="norm2")()
+        cv2 = _ConvParams(self.out_channels, self.out_channels, name="conv2")()
+        shortcut = x
         if in_ch != self.out_channels:
-            x = nn.Conv(
+            shortcut = nn.Conv(
                 self.out_channels, (1, 1), name="conv_shortcut", dtype=self.dtype
             )(x)
-        return x + h
+        h = _gn_silu_conv(x, gn1, cv1, self.groups, self.dtype)
+        return _gn_silu_conv(h, gn2, cv2, self.groups, self.dtype, residual=shortcut)
 
 
 class VaeAttnBlock(nn.Module):
@@ -84,9 +136,15 @@ class Upsample2D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        x = x.astype(self.dtype)
         B, H, W, C = x.shape
+        kernel, bias = _ConvParams(C, self.out_channels, name="conv")()
         x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
-        return nn.Conv(self.out_channels, (3, 3), padding=1, name="conv", dtype=self.dtype)(x)
+        if _fusable(x, self.out_channels):
+            return ck.conv3x3_fused(
+                x, kernel.astype(self.dtype), bias, interpret=not _on_tpu()
+            )
+        return ck.conv3x3_xla(x, kernel.astype(self.dtype), bias)
 
 
 class Encoder(nn.Module):

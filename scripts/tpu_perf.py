@@ -72,6 +72,128 @@ def bench_attention():
             log(f"  stock_flash unavailable: {e}")
 
 
+def bench_attn_blocks():
+    """Block-size autotune for the v2 flash kernel at the UNet's hot spatial
+    shapes, vs the XLA fused baseline (which materializes NxN logits in HBM)."""
+    from controlanimate_tpu.ops.flash_attention import flash_attention
+
+    for (B, N, H, D) in [(16, 4096, 8, 40), (32, 4096, 8, 40), (16, 1024, 8, 80)]:
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(ks[0], (B, N, H, D), jnp.bfloat16)
+        k = jax.random.normal(ks[1], (B, N, H, D), jnp.bfloat16)
+        v = jax.random.normal(ks[2], (B, N, H, D), jnp.bfloat16)
+        log(f"--- attention shape {(B, N, H, D)}")
+        xla = jax.jit(lambda q, k, v: jax.nn.dot_product_attention(q, k, v))
+        timeit("  xla_fused", xla, q, k, v)
+        for bq in (256, 512, 1024):
+            for bk in (1024, 2048, N):
+                if bq > N or bk > N:
+                    continue
+                fn = jax.jit(
+                    lambda q, k, v, bq=bq, bk=bk: flash_attention(
+                        q, k, v, block_q=bq, block_k=bk
+                    )
+                )
+                timeit(f"  pallas bq={bq} bk={bk}", fn, q, k, v)
+
+
+def bench_attn_loop():
+    """Per-call attention time resolved below the dispatch floor: chain the
+    call x10 inside ONE jit (output feeds back as q)."""
+    from controlanimate_tpu.ops.flash_attention import flash_attention
+
+    REPS = 10
+    for (B, N, H, D) in [(16, 4096, 8, 40), (32, 4096, 8, 40), (16, 1024, 8, 80)]:
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(ks[0], (B, N, H, D), jnp.bfloat16)
+        k = jax.random.normal(ks[1], (B, N, H, D), jnp.bfloat16)
+        v = jax.random.normal(ks[2], (B, N, H, D), jnp.bfloat16)
+        log(f"--- attention loop shape {(B, N, H, D)} x{REPS}")
+
+        def loop(fn):
+            def run(q, k, v):
+                def body(c, _):
+                    return fn(c, k, v).astype(c.dtype), None
+                out, _ = jax.lax.scan(body, q, None, length=REPS)
+                return out
+            return jax.jit(run)
+
+        t = timeit("  xla_fused x10",
+                   loop(lambda q, k, v: jax.nn.dot_product_attention(q, k, v)),
+                   q, k, v)
+        log(f"    => {t/REPS*1000:.2f} ms/call")
+        for bq, bk in [(256, N), (512, N), (512, 2048), (1024, N)]:
+            t = timeit(
+                f"  pallas bq={bq} bk={bk} x10",
+                loop(lambda q, k, v, bq=bq, bk=bk: flash_attention(
+                    q, k, v, block_q=bq, block_k=bk)),
+                q, k, v,
+            )
+            log(f"    => {t/REPS*1000:.2f} ms/call")
+
+
+def bench_conv_loop():
+    """Fused GN+SiLU+conv3x3 Pallas kernel vs XLA at the VAE's hot
+    geometries, chained x8 inside one jit."""
+    from controlanimate_tpu.ops.conv_kernel import conv3x3_fused, conv3x3_xla
+
+    REPS = 8
+    for (B, HW, C) in [(16, 512, 128), (16, 512, 256), (16, 256, 512)]:
+        ks = jax.random.split(jax.random.PRNGKey(0), 5)
+        x = jax.random.normal(ks[0], (B, HW, HW, C), jnp.bfloat16)
+        kernel = (jax.random.normal(ks[1], (3, 3, C, C), jnp.bfloat16) * 0.02)
+        bias = jax.random.normal(ks[2], (C,), jnp.bfloat16) * 0.1
+        a = 1.0 + 0.05 * jax.random.normal(ks[3], (B, C), jnp.bfloat16)
+        bb = 0.05 * jax.random.normal(ks[4], (B, C), jnp.bfloat16)
+        log(f"--- conv geometry {(B, HW, HW, C)} x{REPS}")
+
+        def loop(fn):
+            def run(x):
+                def body(c, _):
+                    return fn(c).astype(c.dtype), None
+                out, _ = jax.lax.scan(body, x, None, length=REPS)
+                return out
+            return jax.jit(run)
+
+        t = timeit("  xla gn+silu+conv x8",
+                   loop(lambda x: conv3x3_xla(x, kernel, bias, affine=(a, bb), act="silu")),
+                   x)
+        log(f"    => {t/REPS*1000:.2f} ms/call")
+        for R in (None, 8, 16):
+            try:
+                t = timeit(
+                    f"  pallas R={R} x8",
+                    loop(lambda x, R=R: conv3x3_fused(
+                        x, kernel, bias, affine=(a, bb), act="silu",
+                        rows_per_block=R)),
+                    x,
+                )
+                log(f"    => {t/REPS*1000:.2f} ms/call")
+            except Exception as e:
+                log(f"  pallas R={R} failed: {type(e).__name__}: {str(e)[:200]}")
+
+
+def bench_vae_fused():
+    """Full VAE decode/encode with the fused conv kernel on vs off."""
+    from controlanimate_tpu.models.vae import AutoencoderKL
+    from controlanimate_tpu.ops import conv_kernel as ck
+
+    vae = AutoencoderKL(dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(
+        lambda k: vae.init(k, jnp.zeros((1, 64, 64, 3), jnp.bfloat16))["params"]
+    )(key)
+    z = jax.random.normal(key, (16, 64, 64, 4), jnp.bfloat16)
+    x = jax.random.normal(key, (16, 512, 512, 3), jnp.bfloat16)
+    for fused in (False, True):
+        ck.set_conv_kernel_enabled(fused)
+        dec = jax.jit(lambda p, z: vae.apply({"params": p}, z, method=AutoencoderKL.decode))
+        enc = jax.jit(lambda p, x: vae.apply({"params": p}, x, method=AutoencoderKL.encode))
+        timeit(f"vae decode 16f 512px fused={fused}", dec, params, z)
+        timeit(f"vae encode 16f 512px fused={fused}", enc, params, x)
+    ck.set_conv_kernel_enabled(False)
+
+
 def bench_unet():
     import __graft_entry__
 
@@ -483,6 +605,14 @@ if __name__ == "__main__":
     log(f"device: {jax.devices()[0]}")
     if "attn" in which:
         bench_attention()
+    if "attn2" in which:
+        bench_attn_blocks()
+    if "attnloop" in which:
+        bench_attn_loop()
+    if "convloop" in which:
+        bench_conv_loop()
+    if "vae2" in which:
+        bench_vae_fused()
     if "unet" in which:
         bench_unet()
     if "vae" in which:

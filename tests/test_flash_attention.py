@@ -38,3 +38,19 @@ def test_flash_bf16():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref), atol=3e-2, rtol=3e-2
     )
+
+
+@pytest.mark.parametrize("block_q,block_k", [
+    (128, 512),   # one-pass (block_k == N)
+    (128, 128),   # online-softmax multi-block KV loop
+    (512, 256),   # bq covers full N, two KV blocks
+])
+def test_flash_block_modes(block_q, block_k):
+    shape = (2, 512, 2, 40)
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = jax.random.normal(ks[0], shape, jnp.float32)
+    k = jax.random.normal(ks[1], shape, jnp.float32)
+    v = jax.random.normal(ks[2], shape, jnp.float32)
+    out = flash_attention(q, k, v, interpret=True, block_q=block_q, block_k=block_k)
+    ref = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
