@@ -83,9 +83,21 @@ class TemporalEinsumAttention(nn.Module):
         q = q.reshape(B, F, N, H, D)
         k = k.reshape(B, F, N, H, D)
         v = v.reshape(B, F, N, H, D)
-        logits = jnp.einsum("bfnhd,bgnhd->bnhfg", q, k) * (D**-0.5)
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
-        out = jnp.einsum("bnhfg,bgnhd->bfnhd", probs, v).reshape(B, F, N, C)
+        if N * D >= 4096 * 40:
+            # level-0 geometry: broadcast-mul + d-reduce stays on the VPU and
+            # avoids the batched tiny (FxD)@(DxF) GEMMs — measured ~12%
+            # faster than the einsum form at (.,16,4096,8x40) on v5e; the
+            # einsum form stays faster at the narrower deep levels
+            logits = (
+                q[:, :, None].astype(jnp.float32) * k[:, None].astype(jnp.float32)
+            ).sum(-1) * (D**-0.5)  # (B, F, G, N, H)
+            probs = jax.nn.softmax(logits, axis=2)
+            out = (probs[..., None] * v[:, None].astype(jnp.float32)).sum(2)
+            out = out.astype(q.dtype).reshape(B, F, N, C)
+        else:
+            logits = jnp.einsum("bfnhd,bgnhd->bnhfg", q, k) * (D**-0.5)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+            out = jnp.einsum("bnhfg,bgnhd->bfnhd", probs, v).reshape(B, F, N, C)
         return nn.Dense(C, name="to_out_0", dtype=self.dtype)(out)
 
 

@@ -14,14 +14,16 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-# Measured on v5e (r2): for the UNet's spatial shapes (N=4096, D=40) XLA's
-# fused attention wins — per-call ~12ms vs our Pallas flash kernel ~16ms
-# (bf16-matmul version; the f32-matmul version was 1.8x slower) and vs the
-# STOCK jax.experimental TPU flash kernel ~68-130ms (it pads D 40->128 and
-# is tuned for LLM head dims). XLA is the default; the Pallas kernel remains
-# available (set_pallas_enabled / CONTROLANIMATE_PALLAS_ATTENTION=1) — it
-# compiles ~700x faster through the remote-compile tunnel, which matters
-# for cold starts.
+# Measured on v5e (r2, loop-in-jit x10 so dispatch floors cancel): for the
+# UNet's hot spatial shape (16, 4096, 8, 40) XLA's fused attention wins —
+# 9.9 ms/call vs our best Pallas flash variant 12.2 ms (one-pass softmax,
+# full KV in VMEM; the D 40->128 lane padding costs both backends alike) and
+# vs the STOCK jax.experimental TPU flash kernel 68-130 ms (tuned for LLM
+# head dims). At (16, 1024, 8, 80) Pallas edges XLA (3.7 vs 4.3 ms) but the
+# shape is minor. XLA is the default; the Pallas kernel remains available
+# (set_pallas_enabled / CONTROLANIMATE_PALLAS_ATTENTION=1) — it compiles
+# ~700x faster through the remote-compile tunnel, which matters for cold
+# starts.
 import os as _os
 
 _PALLAS_ENABLED = _os.environ.get("CONTROLANIMATE_PALLAS_ATTENTION", "0") == "1"

@@ -65,6 +65,7 @@ def _pick_rows(H: int, W: int, Cin: int, Cout_blk: int, itemsize: int,
             continue
         est = (
             3 * (R + 2) * W * Cin * itemsize  # activated block + two shifts
+            + 9 * R * W * Cin * itemsize      # im2col patch buffer
             + R * W * Cin * itemsize          # x_main in-block
             + R * W * Cout_blk * 4            # f32 accumulator
             + R * W * Cout_blk * itemsize     # out block
@@ -103,15 +104,17 @@ def _conv_kernel(
     right = jnp.concatenate([z[:, 1:, :], zeros_col], axis=1)       # tap dx=2
     taps = (left, z, right)
 
-    acc = jnp.zeros((R * W, Cout_blk), jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            src = taps[dx][dy : dy + R].reshape(R * W, Cin)
-            w_tap = wmat[(dy * 3 + dx) * Cin : (dy * 3 + dx + 1) * Cin, :]
-            acc = acc + jax.lax.dot_general(
-                src, w_tap, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+    # im2col in VMEM: one (R*W, 9*Cin) @ (9*Cin, Cout) matmul instead of 9
+    # small ones — the 9-dot form is MXU-launch-latency-bound at these tiles
+    patches = jnp.concatenate(
+        [taps[dx][dy : dy + R].reshape(R * W, Cin)
+         for dy in range(3) for dx in range(3)],
+        axis=-1,
+    )  # (R*W, 9*Cin), tap-major order matches wmat's row layout
+    acc = jax.lax.dot_general(
+        patches, wmat[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     acc = acc + bias[0][None, :].astype(jnp.float32)
     if has_residual:
         acc = acc + res_ref[0].reshape(R * W, Cout_blk).astype(jnp.float32)

@@ -354,6 +354,8 @@ class AnimationEngine:
                 )
                 return (latents, state), None
 
+            # measured on v5e: unrolling the 4-step LCM loop is perf-neutral
+            # (752 vs 748 ms) and costs compile time — keep the rolled scan
             (latents, _), _ = jax.lax.scan(
                 body, (latents, state0), jnp.arange(sched.num_steps)
             )

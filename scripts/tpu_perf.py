@@ -132,6 +132,43 @@ def bench_attn_loop():
             log(f"    => {t/REPS*1000:.2f} ms/call")
 
 
+def bench_attn_xl():
+    """One-pass flash kernel with XL q-blocks (fewer, fatter MXU launches)
+    at the LCM spatial shape, vs XLA."""
+    from controlanimate_tpu.ops.flash_attention import flash_attention
+
+    REPS = 10
+    B, N, H, D = 16, 4096, 8, 40
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (B, N, H, D), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (B, N, H, D), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (B, N, H, D), jnp.bfloat16)
+
+    def loop(fn):
+        def run(q, k, v):
+            def body(c, _):
+                return fn(c, k, v).astype(c.dtype), None
+            out, _ = jax.lax.scan(body, q, None, length=REPS)
+            return out
+        return jax.jit(run)
+
+    t = timeit("  xla_fused x10",
+               loop(lambda q, k, v: jax.nn.dot_product_attention(q, k, v)),
+               q, k, v)
+    log(f"    => {t/REPS*1000:.2f} ms/call")
+    for bq in (1024, 2048, 4096):
+        try:
+            t = timeit(
+                f"  pallas bq={bq} onepass x10",
+                loop(lambda q, k, v, bq=bq: flash_attention(
+                    q, k, v, block_q=bq, block_k=N)),
+                q, k, v,
+            )
+            log(f"    => {t/REPS*1000:.2f} ms/call")
+        except Exception as e:
+            log(f"  pallas bq={bq} failed: {type(e).__name__}: {str(e)[:160]}")
+
+
 def bench_conv_loop():
     """Fused GN+SiLU+conv3x3 Pallas kernel vs XLA at the VAE's hot
     geometries, chained x8 inside one jit."""
@@ -159,7 +196,7 @@ def bench_conv_loop():
                    loop(lambda x: conv3x3_xla(x, kernel, bias, affine=(a, bb), act="silu")),
                    x)
         log(f"    => {t/REPS*1000:.2f} ms/call")
-        for R in (None, 8, 16):
+        for R in (None, 4, 8):
             try:
                 t = timeit(
                     f"  pallas R={R} x8",
@@ -171,6 +208,94 @@ def bench_conv_loop():
                 log(f"    => {t/REPS*1000:.2f} ms/call")
             except Exception as e:
                 log(f"  pallas R={R} failed: {type(e).__name__}: {str(e)[:200]}")
+
+
+def bench_denoise():
+    """The engine's LCM denoise program (b1, 16f, 4 steps)."""
+    import numpy as np
+
+    import bench
+    from controlanimate_tpu.pipelines.engine import WindowStatic
+
+    cfg = bench.RunConfig(
+        width=512, height=512, frame_count=16, overlap_length=8,
+        use_lcm=True, steps=4, guidance_scale=7.5, strength=0.9,
+        lcm_origin_steps=50, prompt="a cat", n_prompt="", seed=7,
+        dtype="bfloat16",
+    )
+    st = WindowStatic(
+        steps=4, use_lcm=True, guidance_scale=7.5, strength=0.9,
+        lcm_origin_steps=50, frame_count=16, height=512, width=512,
+        output_uint8=True,
+    )
+    key = jax.random.PRNGKey(0)
+    text = jax.random.normal(key, (1, 77, 768), jnp.bfloat16)
+    lat = jax.random.normal(key, (1, 16, 64, 64, 4), jnp.float32)
+    pipeline = bench.build_pipeline(cfg)
+    eng = pipeline.engine
+    sched = eng.build_scheduler(st)
+    denoise = eng._make_denoise_fn(st, sched)
+    timeit("denoise 4-step LCM", denoise,
+           eng.m.unet_params, (), text, (), lat, key)
+
+
+def bench_motion_loop():
+    """Frame-axis attention formulations, chained x10 inside one jit at the
+    UNet level geometries (LCM batch). The einsum form batches 65k tiny
+    (16x40)@(40x16) GEMMs; the mul-reduce form keeps everything on the VPU."""
+    REPS = 10
+    key = jax.random.PRNGKey(0)
+    for (B, F, N, C) in [(1, 16, 4096, 320), (2, 16, 4096, 320), (1, 16, 1024, 640)]:
+        H = 8
+        D = C // H
+        ks = jax.random.split(key, 5)
+        x = jax.random.normal(ks[0], (B, F, N, C), jnp.bfloat16)
+        wq = jax.random.normal(ks[1], (C, C), jnp.bfloat16) * 0.02
+        wk = jax.random.normal(ks[2], (C, C), jnp.bfloat16) * 0.02
+        wv = jax.random.normal(ks[3], (C, C), jnp.bfloat16) * 0.02
+        wo = jax.random.normal(ks[4], (C, C), jnp.bfloat16) * 0.02
+        log(f"--- motion loop geometry B{B} F{F} N{N} C{C} x{REPS}")
+
+        def attn_einsum(x):
+            q = (x @ wq).reshape(B, F, N, H, D)
+            k = (x @ wk).reshape(B, F, N, H, D)
+            v = (x @ wv).reshape(B, F, N, H, D)
+            logits = jnp.einsum("bfnhd,bgnhd->bnhfg", q, k) * (D**-0.5)
+            p = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(q.dtype)
+            out = jnp.einsum("bnhfg,bgnhd->bfnhd", p, v).reshape(B, F, N, C)
+            return out @ wo
+
+        def attn_mulreduce(x):
+            q = (x @ wq).reshape(B, F, N, H, D)
+            k = (x @ wk).reshape(B, F, N, H, D)
+            v = (x @ wv).reshape(B, F, N, H, D)
+            # logits[b,f,g,n,h] via broadcast-mul + d-reduce (VPU, no GEMM)
+            logits = (
+                q[:, :, None].astype(jnp.float32) * k[:, None].astype(jnp.float32)
+            ).sum(-1) * (D**-0.5)  # (B,F,G,N,H)
+            p = jax.nn.softmax(logits, axis=2)
+            out = (p[..., None] * v[:, None].astype(jnp.float32)).sum(2)  # (B,F,N,H,D)
+            return out.astype(x.dtype).reshape(B, F, N, C) @ wo
+
+        def attn_projs_only(x):
+            q = x @ wq
+            k = x @ wk
+            v = x @ wv
+            return (q + k + v) @ wo
+
+        def loop(fn):
+            def run(x):
+                def body(c, _):
+                    return fn(c).astype(c.dtype), None
+                out, _ = jax.lax.scan(body, x, None, length=REPS)
+                return out
+            return jax.jit(run)
+
+        for name, fn in [("einsum(cur)", attn_einsum),
+                         ("mulreduce", attn_mulreduce),
+                         ("projs_only", attn_projs_only)]:
+            t = timeit(f"  {name} x10", loop(fn), x)
+            log(f"    => {t/REPS*1000:.2f} ms/call")
 
 
 def bench_vae_fused():
@@ -611,6 +736,12 @@ if __name__ == "__main__":
         bench_attn_loop()
     if "convloop" in which:
         bench_conv_loop()
+    if "motionloop" in which:
+        bench_motion_loop()
+    if "denoise2" in which:
+        bench_denoise()
+    if "attnxl" in which:
+        bench_attn_xl()
     if "vae2" in which:
         bench_vae_fused()
     if "unet" in which:

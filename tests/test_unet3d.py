@@ -132,3 +132,31 @@ def test_lcm_timestep_cond():
     out_w = model.apply({"params": params}, x, t, ctx, timestep_cond=w)
     out_w2 = model.apply({"params": params}, x, t, ctx, timestep_cond=w * 2)
     assert not np.allclose(np.asarray(out_w), np.asarray(out_w2))
+
+
+def test_temporal_attention_mulreduce_matches_einsum():
+    """The VPU mul-reduce formulation (dispatched at level-0 geometry,
+    N*D >= 4096*40) must match the einsum formulation numerically."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from controlanimate_tpu.models.motion_module import TemporalEinsumAttention
+
+    B, F, N, C, H = 1, 3, 4096, 320, 8  # N*D = 4096*40: mulreduce branch
+    attn = TemporalEinsumAttention(heads=H)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (B, F, N, C), jnp.float32) * 0.3
+    params = attn.init(key, x)["params"]
+    out = attn.apply({"params": params}, x)
+
+    # reference einsum formulation with the same params
+    D = C // H
+    q = (x @ params["to_q"]["kernel"]).reshape(B, F, N, H, D)
+    k = (x @ params["to_k"]["kernel"]).reshape(B, F, N, H, D)
+    v = (x @ params["to_v"]["kernel"]).reshape(B, F, N, H, D)
+    logits = jnp.einsum("bfnhd,bgnhd->bnhfg", q, k) * (D**-0.5)
+    p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    ref = jnp.einsum("bnhfg,bgnhd->bfnhd", p, v).reshape(B, F, N, C)
+    ref = ref @ params["to_out_0"]["kernel"] + params["to_out_0"]["bias"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-4)
