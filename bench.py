@@ -82,7 +82,7 @@ def build_pipeline(cfg: RunConfig) -> ControlAnimatePipeline:
     return ControlAnimatePipeline(cfg, models=models, text_stack=TextStack(tok, tmodel, tparams))
 
 
-def main(frames: int = 16, size: int = 512, steps: int = 4, iters: int = 5):
+def main(frames: int = 16, size: int = 512, steps: int = 4, iters: int = 10):
     dev = jax.devices()[0]
     log(f"device: {dev}")
 
@@ -126,16 +126,18 @@ def main(frames: int = 16, size: int = 512, steps: int = 4, iters: int = 5):
 
     ex = ThreadPoolExecutor(max_workers=2)
     staged = ex.submit(jnp.asarray, inputs[0])
-    # one pipelined warmup window: compiles the yuv program, settles caches
-    x_dev = staged.result()
-    staged = ex.submit(jnp.asarray, inputs[1])
-    np.asarray(run_window(x_dev))
+    # two pipelined warmup windows: compile the yuv program, settle device
+    # allocator + tunnel caches (window 0 otherwise runs ~0.2s slow)
+    for w in range(2):
+        x_dev = staged.result()
+        staged = ex.submit(jnp.asarray, inputs[(w + 1) % len(inputs)])
+        np.asarray(run_window(x_dev))
 
     prev = None
     t0 = time.time()
     for i in range(iters):
         x_dev = staged.result()
-        staged = ex.submit(jnp.asarray, inputs[(i + 2) % len(inputs)])
+        staged = ex.submit(jnp.asarray, inputs[i % len(inputs)])
         out_dev = run_window(x_dev)
         if prev is not None:
             assert np.asarray(prev).dtype == np.uint8  # fetch of window i-1

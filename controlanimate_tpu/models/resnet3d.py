@@ -136,7 +136,9 @@ class Upsample3D(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, F, H, W, C = x.shape
-        x = x.astype(jnp.float32)  # resize in fp32 (reference upcasts for bf16, :59-63)
+        # nearest-neighbor resize only duplicates values — dtype cannot
+        # change the result, so no f32 round trip (the reference upcasts
+        # because torch bf16 interpolate was unsupported, :59-63, not for
+        # numerics; two full extra HBM passes here)
         x = jax.image.resize(x, (B, F, H * 2, W * 2, C), method="nearest")
-        x = x.astype(self.dtype)
         return InflatedConv(self.out_channels, name="conv", dtype=self.dtype)(x)

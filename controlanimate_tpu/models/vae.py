@@ -123,10 +123,12 @@ class Downsample2D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # SD VAE uses asymmetric padding (0,1,0,1) with stride 2
-        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        # SD VAE uses asymmetric padding (0,1,0,1) with stride 2; expressing
+        # it as conv padding (not jnp.pad) avoids materializing a padded
+        # copy of the level-0 activation (1 GB at 16f/512px)
         return nn.Conv(
-            self.out_channels, (3, 3), strides=2, padding="VALID", name="conv", dtype=self.dtype
+            self.out_channels, (3, 3), strides=2, padding=((0, 1), (0, 1)),
+            name="conv", dtype=self.dtype,
         )(x)
 
 

@@ -103,7 +103,7 @@ def bench_attn_loop():
     from controlanimate_tpu.ops.flash_attention import flash_attention
 
     REPS = 10
-    for (B, N, H, D) in [(16, 4096, 8, 40), (32, 4096, 8, 40), (16, 1024, 8, 80)]:
+    for (B, N, H, D) in [(16, 256, 8, 160), (32, 256, 8, 160)]:
         ks = jax.random.split(jax.random.PRNGKey(0), 3)
         q = jax.random.normal(ks[0], (B, N, H, D), jnp.bfloat16)
         k = jax.random.normal(ks[1], (B, N, H, D), jnp.bfloat16)
@@ -122,7 +122,7 @@ def bench_attn_loop():
                    loop(lambda q, k, v: jax.nn.dot_product_attention(q, k, v)),
                    q, k, v)
         log(f"    => {t/REPS*1000:.2f} ms/call")
-        for bq, bk in [(256, N), (512, N), (512, 2048), (1024, N)]:
+        for bq, bk in [(128, N), (256, N), (512, N), (512, 2048)]:
             t = timeit(
                 f"  pallas bq={bq} bk={bk} x10",
                 loop(lambda q, k, v, bq=bq, bk=bk: flash_attention(
@@ -366,7 +366,7 @@ def bench_window():
     """Full LCM window via bench.py main()."""
     import bench
 
-    bench.main(iters=3)
+    bench.main(iters=8)
 
 
 def bench_transfer():

@@ -54,3 +54,32 @@ def test_flash_block_modes(block_q, block_k):
     out = flash_attention(q, k, v, interpret=True, block_q=block_q, block_k=block_k)
     ref = reference_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_dispatch_policy(monkeypatch):
+    """Auto-dispatch: Pallas for lane-friendly head dims (D>=80, N>=1024,
+    self-attention on TPU); XLA for D=40, short/cross sequences."""
+    from controlanimate_tpu.ops import attention as att
+
+    calls = {"pallas": 0}
+
+    def fake_flash(q, k, v):
+        calls["pallas"] += 1
+        return q
+
+    monkeypatch.setattr(att, "_on_tpu", lambda: True)
+    import controlanimate_tpu.ops.flash_attention as fa
+    monkeypatch.setattr(fa, "flash_attention", fake_flash)
+
+    def run(B, N, H, D, Nk=None):
+        calls["pallas"] = 0
+        q = jnp.zeros((B, N, H, D), jnp.float32)
+        k = jnp.zeros((B, Nk or N, H, D), jnp.float32)
+        att.dot_product_attention(q, k, k)
+        return calls["pallas"]
+
+    assert run(2, 1024, 8, 80) == 1      # level-1 spatial: pallas
+    assert run(2, 4096, 1, 512) == 1     # VAE mid-attn: pallas
+    assert run(2, 4096, 8, 40) == 0      # level-0 spatial: XLA wins
+    assert run(2, 256, 8, 160) == 0      # short seq: XLA
+    assert run(2, 4096, 8, 80, Nk=77) == 0  # cross-attention: XLA
