@@ -208,6 +208,10 @@ class RunConfig:
     # v5e (see ops/attention.py); enable Pallas for fast cold starts on
     # remote-compile paths (it compiles ~700x faster through the tunnel)
     use_pallas_attention: bool = False
+    # Pallas fused GN+SiLU+conv3x3 for the VAE (ops/conv_kernel.py): XLA's
+    # convs measured faster on v5e, but the kernels compile in seconds where
+    # XLA takes minutes through remote-compile tunnels — a cold-start knob
+    use_pallas_conv: bool = False
     # read + annotate window N+1 on a host thread while window N occupies
     # the device (SURVEY §7 hard-part 6; the reference blocks serially)
     overlap_host_work: bool = True
@@ -238,7 +242,8 @@ class RunConfig:
             "save_frames", "use_lcm", "use_img2img", "guess_mode",
             "loop_back_frames", "use_ipadapter", "do_initial_generation",
             "use_face_enhancer", "upscale_first", "use_pallas_attention",
-            "overlap_host_work", "use_native_framepipe", "resume",
+            "use_pallas_conv", "overlap_host_work", "use_native_framepipe",
+            "resume",
         }
         tuple_keys = {
             "lora_model_paths", "lora_weights", "controlnets", "cond_scale",

@@ -7,6 +7,13 @@ whose attention runs **across frames at each spatial location** —
 the frame axis (max_len 24 v1 / 32 v2, :227-245) and a zero-initialized
 output projection so a freshly-initialized module is an identity residual
 (:50-77), which is what makes non-strict 2D weight loading sound.
+
+TPU execution: a fully-fused Pallas formulation of the whole module
+(ops/motion_kernel.py) is available behind CONTROLANIMATE_PALLAS_MOTION=1 —
+measured a WASH vs XLA on v5e (205.9 vs 205.3 ms full UNet forward), so
+XLA is the default; the param tree is identical in both paths. The XLA
+path itself shape-dispatches the frame-axis attention (VPU mul-reduce at
+level-0 where the einsum form lowers to 65k tiny GEMMs).
 """
 
 from __future__ import annotations
@@ -19,7 +26,13 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .layers import FeedForward, GroupNorm, LayerNorm32
+from ..ops.attention import _on_tpu, _single_device
+from ..ops.conv_kernel import groupnorm_fold
+from ..ops.motion_kernel import (
+    motion_kernel_enabled,
+    motion_module_fused,
+    pick_nblk,
+)
 
 
 def temporal_positional_encoding(max_len: int, dim: int) -> np.ndarray:
@@ -32,37 +45,59 @@ def temporal_positional_encoding(max_len: int, dim: int) -> np.ndarray:
     return pe.astype(np.float32)
 
 
-class TemporalAttentionBlock(nn.Module):
-    """One 'Temporal_Self' attention sublayer with frame-axis PE.
+class _VecPair(nn.Module):
+    """scale/bias parameter pair — the tree of LayerNorm32 and GroupNorm."""
 
-    Operates directly on (B, F, N, C) with einsum attention over the frame
-    axis per spatial location — the reference materializes a
-    (b·h·w, f, c) transpose (motion_module.py:285); here XLA folds the
-    layout change into the projection GEMMs (the explicit-transpose form
-    measured ~200ms of the UNet forward on v5e)."""
-
-    heads: int
-    max_len: int = 32
-    use_pos_encoding: bool = True
-    dtype: jnp.dtype = jnp.float32
+    features: int
 
     @nn.compact
-    def __call__(self, x):
-        """x: (B, F, N, C)."""
-        B, F, N, C = x.shape
-        if self.use_pos_encoding and F > self.max_len:
-            raise ValueError(
-                f"window of {F} frames exceeds the motion module's positional "
-                f"table (max_len={self.max_len}; v1=24, v2=32 — reference "
-                "motion_module.py:227-245). Lower frame_count or use the v2 module."
-            )
-        h = LayerNorm32(name="norm")(x)
-        if self.use_pos_encoding:
-            pe = temporal_positional_encoding(self.max_len, C)[:F]
-            h = h + jnp.asarray(pe, h.dtype)[None, :, None, :]
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return scale, bias
 
-        out = TemporalEinsumAttention(self.heads, name="attention", dtype=self.dtype)(h)
-        return x + out
+
+class _DenseParams(nn.Module):
+    """kernel/bias parameter pair — the tree of nn.Dense."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self):
+        init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
+        kernel = self.param(
+            "kernel", init, (self.in_features, self.features), jnp.float32
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
+def _dense(x, kernel, bias, dt):
+    """nn.Dense(dtype=dt) semantics."""
+    y = x.astype(dt) @ kernel.astype(dt)
+    if bias is not None:
+        y = y + bias.astype(dt)
+    return y
+
+
+def _layernorm(x, scale, bias, eps: float = 1e-5):
+    """LayerNorm32 semantics: f32 statistics, input-dtype normalize."""
+    mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+    mean2 = jnp.mean(
+        jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True, dtype=jnp.float32
+    )
+    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    a = inv.astype(x.dtype)
+    b = (-mean * inv).astype(x.dtype)
+    return (x * a + b) * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
 class TemporalEinsumAttention(nn.Module):
@@ -74,15 +109,21 @@ class TemporalEinsumAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, h):
+    def __call__(self, h, return_params: bool = False):
+        C = h.shape[-1]
+        wq, _ = _DenseParams(C, C, use_bias=False, name="to_q")()
+        wk, _ = _DenseParams(C, C, use_bias=False, name="to_k")()
+        wv, _ = _DenseParams(C, C, use_bias=False, name="to_v")()
+        wo, ob = _DenseParams(C, C, name="to_out_0")()
+        if return_params:
+            return {"wq": wq, "wk": wk, "wv": wv, "wo": wo, "ob": ob}
+
         B, F, N, C = h.shape
         H, D = self.heads, C // self.heads
-        q = nn.Dense(C, use_bias=False, name="to_q", dtype=self.dtype)(h)
-        k = nn.Dense(C, use_bias=False, name="to_k", dtype=self.dtype)(h)
-        v = nn.Dense(C, use_bias=False, name="to_v", dtype=self.dtype)(h)
-        q = q.reshape(B, F, N, H, D)
-        k = k.reshape(B, F, N, H, D)
-        v = v.reshape(B, F, N, H, D)
+        dt = self.dtype
+        q = _dense(h, wq, None, dt).reshape(B, F, N, H, D)
+        k = _dense(h, wk, None, dt).reshape(B, F, N, H, D)
+        v = _dense(h, wv, None, dt).reshape(B, F, N, H, D)
         if N * D >= 4096 * 40:
             # level-0 geometry: broadcast-mul + d-reduce stays on the VPU and
             # avoids the batched tiny (FxD)@(DxF) GEMMs — measured ~12%
@@ -98,7 +139,38 @@ class TemporalEinsumAttention(nn.Module):
             logits = jnp.einsum("bfnhd,bgnhd->bnhfg", q, k) * (D**-0.5)
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
             out = jnp.einsum("bnhfg,bgnhd->bfnhd", probs, v).reshape(B, F, N, C)
-        return nn.Dense(C, name="to_out_0", dtype=self.dtype)(out)
+        return _dense(out, wo, ob, dt)
+
+
+class TemporalAttentionBlock(nn.Module):
+    """One 'Temporal_Self' attention sublayer with frame-axis PE."""
+
+    heads: int
+    max_len: int = 32
+    use_pos_encoding: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, return_params: bool = False):
+        C = x.shape[-1]
+        ls, lb = _VecPair(C, name="norm")()
+        attn = TemporalEinsumAttention(self.heads, name="attention", dtype=self.dtype)
+        if return_params:
+            ap = attn(x, return_params=True)
+            return {"ls": ls, "lb": lb, **ap}
+
+        B, F, N, C = x.shape
+        if self.use_pos_encoding and F > self.max_len:
+            raise ValueError(
+                f"window of {F} frames exceeds the motion module's positional "
+                f"table (max_len={self.max_len}; v1=24, v2=32 — reference "
+                "motion_module.py:227-245). Lower frame_count or use the v2 module."
+            )
+        h = _layernorm(x, ls, lb)
+        if self.use_pos_encoding:
+            pe = temporal_positional_encoding(self.max_len, C)[:F]
+            h = h + jnp.asarray(pe, h.dtype)[None, :, None, :]
+        return x + attn(h)
 
 
 class TemporalTransformerBlock(nn.Module):
@@ -109,22 +181,67 @@ class TemporalTransformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        for i, block_type in enumerate(self.attention_block_types):
+    def __call__(self, x, return_params: bool = False):
+        C = x.shape[-1]
+        for block_type in self.attention_block_types:
             if block_type != "Temporal_Self":
                 raise NotImplementedError(
                     f"attention block type {block_type!r}; the reference's shipped "
                     "configs use Temporal_Self only (inference-v{1,2}.yaml)"
                 )
-            x = TemporalAttentionBlock(
+        blocks = [
+            TemporalAttentionBlock(
                 self.heads,
                 self.max_len,
                 self.use_pos_encoding,
                 name=f"attention_blocks_{i}",
                 dtype=self.dtype,
-            )(x)
-        h = LayerNorm32(name="norm")(x)
-        return x + FeedForward(name="ff", dtype=self.dtype)(h)
+            )
+            for i in range(len(self.attention_block_types))
+        ]
+        ls, lb = _VecPair(C, name="norm")()
+        # FeedForward tree: ff/net_0/proj + ff/net_2 (layers.FeedForward)
+        w1, b1, w2, b2 = _FFParams(C, name="ff")()
+        if return_params:
+            return {
+                "blocks": [b(x, return_params=True) for b in blocks],
+                "lsf": ls, "lbf": lb, "w1": w1, "b1": b1, "w2": w2, "b2": b2,
+            }
+
+        for b in blocks:
+            x = b(x)
+        h = _layernorm(x, ls, lb)
+        # GEGLU FFN (layers.FeedForward semantics: nn.gelu on the gate half)
+        g = _dense(h, w1, b1, self.dtype)
+        inner = g.shape[-1] // 2
+        ff = g[..., :inner] * nn.gelu(g[..., inner:])
+        ff = _dense(ff, w2, b2, self.dtype)
+        return x + ff
+
+
+class _FFParams(nn.Module):
+    """Parameter mirror of layers.FeedForward (GEGLU): ff/net_0/proj/{kernel,
+    bias}, ff/net_2/{kernel,bias}."""
+
+    features: int
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self):
+        class _Net0(nn.Module):
+            in_features: int
+            out_features: int
+
+            @nn.compact
+            def __call__(self):
+                return _DenseParams(
+                    self.in_features, self.out_features * 2, name="proj"
+                )()
+
+        inner = self.features * self.mult
+        w1, b1 = _Net0(self.features, inner, name="net_0")()
+        w2, b2 = _DenseParams(inner, self.features, name="net_2")()
+        return w1, b1, w2, b2
 
 
 class MotionModule(nn.Module):
@@ -143,27 +260,79 @@ class MotionModule(nn.Module):
     def __call__(self, x):
         """x: (B, F, H, W, C) -> same, residual."""
         B, F, H, W, C = x.shape
-        residual = x
-
-        # per-frame GroupNorm over channels (reference:
-        # TemporalTransformer3DModel.norm is a plain GroupNorm over c)
-        h = x.reshape(B * F, H * W, C)
-        h = GroupNorm(self.groups, name="norm")(h)
-        h = nn.Dense(C, name="proj_in", dtype=self.dtype)(h)
-        h = h.reshape(B, F, H * W, C)
-
-        for i in range(self.num_transformer_block):
-            h = TemporalTransformerBlock(
+        N = H * W
+        gs, gb = _VecPair(C, name="norm")()
+        win, bin_ = _DenseParams(C, C, name="proj_in")()
+        blocks = [
+            TemporalTransformerBlock(
                 self.heads,
                 self.attention_block_types,
                 self.max_len,
                 self.use_pos_encoding,
                 name=f"transformer_blocks_{i}",
                 dtype=self.dtype,
-            )(h)
+            )
+            for i in range(self.num_transformer_block)
+        ]
+        wout, bout = _DenseParams(C, C, zero_init=True, name="proj_out")()
 
-        # zero-init output projection: identity residual at init
-        h = nn.Dense(
-            C, name="proj_out", kernel_init=nn.initializers.zeros, dtype=self.dtype
-        )(h)
-        return residual + h.reshape(B, F, H, W, C)
+        if self.use_pos_encoding and F > self.max_len:
+            raise ValueError(
+                f"window of {F} frames exceeds the motion module's positional "
+                f"table (max_len={self.max_len}; v1=24, v2=32 — reference "
+                "motion_module.py:227-245). Lower frame_count or use the v2 module."
+            )
+
+        h4 = x.reshape(B, F, N, C)
+        nblk = pick_nblk(F, N, C, jnp.dtype(self.dtype).itemsize)
+        use_fused = (
+            motion_kernel_enabled()
+            and self.num_transformer_block == 1
+            and len(self.attention_block_types) == 2
+            and nblk is not None
+            and C % self.heads == 0
+            and _on_tpu()
+            and _single_device()
+        )
+        if use_fused:
+            tp = blocks[0](jnp.zeros((0, 0, 0, C), x.dtype), return_params=True)
+            # GroupNorm stats are per (B·F) sample over all spatial locations
+            a, b = groupnorm_fold(
+                h4.reshape(B * F, N, C), gs, gb, self.groups
+            )
+            p = {
+                "gn_a": a.reshape(B, F, C), "gn_b": b.reshape(B, F, C),
+                "win": win, "bin": bin_,
+                "wout": wout, "bout": bout,
+                "lsf": tp["lsf"], "lbf": tp["lbf"],
+                "w1": tp["w1"], "b1": tp["b1"], "w2": tp["w2"], "b2": tp["b2"],
+            }
+            for i, bp in enumerate(tp["blocks"]):
+                p[f"ls{i}"] = bp["ls"]
+                p[f"lb{i}"] = bp["lb"]
+                p[f"wq{i}"] = bp["wq"]
+                p[f"wk{i}"] = bp["wk"]
+                p[f"wv{i}"] = bp["wv"]
+                p[f"wo{i}"] = bp["wo"]
+                p[f"ob{i}"] = bp["ob"]
+            pe = (
+                temporal_positional_encoding(self.max_len, C)[:F]
+                if self.use_pos_encoding
+                else None
+            )
+            out = motion_module_fused(
+                h4.astype(self.dtype), p, heads=self.heads, pe=pe, nblk=nblk
+            )
+            return out.reshape(B, F, H, W, C)
+
+        # per-frame GroupNorm over channels (reference:
+        # TemporalTransformer3DModel.norm is a plain GroupNorm over c)
+        flat = h4.reshape(B * F, N, C)
+        a, b = groupnorm_fold(flat, gs, gb, self.groups)
+        h = flat * a[:, None, :] + b[:, None, :]
+        h = _dense(h, win, bin_, self.dtype)
+        h = h.reshape(B, F, N, C)
+        for blk in blocks:
+            h = blk(h)
+        h = _dense(h, wout, bout, self.dtype)
+        return x + h.reshape(B, F, H, W, C)

@@ -52,6 +52,16 @@ def _on_tpu() -> bool:
         return False
 
 
+def _single_device() -> bool:
+    """Pallas kernels don't auto-partition under GSPMD: only dispatch to
+    them when execution is single-device (multi-chip meshes take the XLA
+    path, which shards fine)."""
+    try:
+        return jax.device_count() == 1
+    except Exception:
+        return False
+
+
 def reference_attention(q, k, v, mask=None, upcast=False):
     """Plain-einsum attention; numerically the oracle for kernel tests.
 
@@ -83,7 +93,7 @@ def dot_product_attention(
     """
     seq_q, seq_k = q.shape[1], k.shape[1]
     head_dim = q.shape[-1]
-    eligible = mask is None and seq_q == seq_k and _on_tpu()
+    eligible = mask is None and seq_q == seq_k and _on_tpu() and _single_device()
     forced = _PALLAS_ENABLED and seq_q >= _PALLAS_MIN_SEQ
     auto = head_dim >= _PALLAS_AUTO_MIN_HEAD_DIM and seq_q >= _PALLAS_AUTO_MIN_SEQ
     if eligible and (forced or auto):

@@ -92,6 +92,10 @@ class ControlAnimatePipeline:
             from ..ops.attention import set_pallas_enabled
 
             set_pallas_enabled(config.use_pallas_attention)
+        if "CONTROLANIMATE_PALLAS_CONV" not in os.environ:
+            from ..ops.conv_kernel import set_conv_kernel_enabled
+
+            set_conv_kernel_enabled(config.use_pallas_conv)
         self.ip_adapter = ip_adapter
         # build the adapter BEFORE the UNet: the checkpoint layout decides
         # num_tokens (base=4, plus=16, full=257) and the UNet's dual-stream

@@ -527,9 +527,9 @@ def bench_motion_incontext():
     from controlanimate_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
 
     key = jax.random.PRNGKey(0)
-    B, F, h, w = 2, 16, 64, 64
+    B, F, h, w = 1, 16, 64, 64  # LCM batch (no CFG duplication)
     sample = jax.random.normal(key, (B, F, h, w, 4), jnp.bfloat16)
-    t = jnp.asarray([500, 500])
+    t = jnp.asarray([500])
     ctx = jax.random.normal(key, (B, 77, 768), jnp.bfloat16)
 
     def measure(tag):
@@ -542,11 +542,15 @@ def bench_motion_incontext():
         f = jax.jit(lambda p, s, tt, c: model.apply({"params": p}, s, tt, c))
         timeit(f"unet[{tag}]", f, params, sample, t, ctx)
 
+    from controlanimate_tpu.ops import motion_kernel as mk
+
     orig_attn = mm.TemporalEinsumAttention.__call__
     orig_block = mm.TemporalAttentionBlock.__call__
     orig_tblock = mm.TemporalTransformerBlock.__call__
 
-    measure("motion-full")
+    measure("motion-full-fused")   # fused Pallas motion kernel (default)
+    mk.set_motion_kernel_enabled(False)
+    measure("motion-full-xla")
 
     # (a) attention math removed, projections kept (isolates einsum+softmax)
     def attn_projs_only(self, hcat):
@@ -580,6 +584,7 @@ def bench_motion_incontext():
     mm.TemporalTransformerBlock.__call__ = tblock_no_ffn
     measure("motion-no-ffn")
     mm.TemporalTransformerBlock.__call__ = orig_tblock
+    mk.set_motion_kernel_enabled(True)
 
 
 def bench_vae_chunked():

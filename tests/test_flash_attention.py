@@ -68,6 +68,7 @@ def test_dispatch_policy(monkeypatch):
         return q
 
     monkeypatch.setattr(att, "_on_tpu", lambda: True)
+    monkeypatch.setattr(att, "_single_device", lambda: True)
     import controlanimate_tpu.ops.flash_attention as fa
     monkeypatch.setattr(fa, "flash_attention", fake_flash)
 
