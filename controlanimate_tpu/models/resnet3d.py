@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import GroupNorm
+from ..ops.upsample import upsample2x_conv3x3
 
 
 def fold_frames(x: jnp.ndarray) -> tuple[jnp.ndarray, int]:
@@ -136,9 +137,35 @@ class Upsample3D(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, F, H, W, C = x.shape
-        # nearest-neighbor resize only duplicates values — dtype cannot
-        # change the result, so no f32 round trip (the reference upcasts
-        # because torch bf16 interpolate was unsupported, :59-63, not for
-        # numerics; two full extra HBM passes here)
-        x = jax.image.resize(x, (B, F, H * 2, W * 2, C), method="nearest")
-        return InflatedConv(self.out_channels, name="conv", dtype=self.dtype)(x)
+        # nearest-2x + conv3x3 as four parity-folded 2x2 convs on the
+        # half-res input (ops/upsample.py): exact, 4/9 the MACs, no 2x
+        # intermediate. (Nearest resize is dtype-invariant, so no f32
+        # round trip either — the reference upcasts only because torch
+        # bf16 interpolate was unsupported, :59-63.)
+        class _Conv(nn.Module):
+            in_features: int
+            features: int
+
+            @nn.compact
+            def __call__(self):
+                kernel = self.param(
+                    "kernel", nn.initializers.lecun_normal(),
+                    (3, 3, self.in_features, self.features), jnp.float32,
+                )
+                bias = self.param(
+                    "bias", nn.initializers.zeros, (self.features,), jnp.float32
+                )
+                return kernel, bias
+
+        class _ConvScope(nn.Module):
+            in_features: int
+            features: int
+
+            @nn.compact
+            def __call__(self):
+                return _Conv(self.in_features, self.features, name="conv")()
+
+        kernel, bias = _ConvScope(C, self.out_channels, name="conv")()
+        flat = x.reshape(B * F, H, W, C)
+        out = upsample2x_conv3x3(flat, kernel, bias, dtype=self.dtype)
+        return out.reshape(B, F, H * 2, W * 2, self.out_channels)
