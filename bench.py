@@ -82,7 +82,7 @@ def build_pipeline(cfg: RunConfig) -> ControlAnimatePipeline:
     return ControlAnimatePipeline(cfg, models=models, text_stack=TextStack(tok, tmodel, tparams))
 
 
-def main(frames: int = 16, size: int = 512, steps: int = 4, iters: int = 10):
+def main(frames: int = 16, size: int = 512, steps: int = 4, iters: int = 16):
     dev = jax.devices()[0]
     log(f"device: {dev}")
 
