@@ -239,6 +239,42 @@ def bench_denoise():
            eng.m.unet_params, (), text, (), lat, key)
 
 
+def bench_euler():
+    """The reference's default profile (SampleConfig: 30-step Euler, CFG
+    7.5, strength 1.0) through the engine programs — documents the measured
+    LCM speedup ratio (reference README claims '10X')."""
+    import numpy as np
+
+    import bench
+    from controlanimate_tpu.pipelines.engine import WindowStatic
+
+    cfg = bench.RunConfig(
+        width=512, height=512, frame_count=16, overlap_length=8,
+        scheduler="EulerDiscreteScheduler", steps=30, guidance_scale=7.5,
+        strength=1.0, prompt="a cat", n_prompt="", seed=7, dtype="bfloat16",
+    )
+    pipeline = bench.build_pipeline(cfg)
+    eng = pipeline.engine
+    st = WindowStatic(
+        scheduler_name="EulerDiscreteScheduler", steps=30,
+        guidance_scale=7.5, strength=1.0, frame_count=16, height=512,
+        width=512, output_uint8=True,
+    )
+    sched = eng.build_scheduler(st)
+    denoise = eng._make_denoise_fn(st, sched)
+    decode = eng._make_decode_fn(True)
+    key = jax.random.PRNGKey(0)
+    text = jax.random.normal(key, (2, 77, 768), jnp.bfloat16)  # CFG pair
+    lat = jax.random.normal(key, (1, 16, 64, 64, 4), jnp.float32)
+    t = timeit("euler 30-step CFG denoise", denoise,
+               eng.m.unet_params, (), text, (), lat, key, iters=2)
+    lat2 = denoise(eng.m.unet_params, (), text, (), lat, key)
+    t2 = timeit("decode", decode, eng.m.vae_params, lat2, iters=2)
+    window = t + t2 + 0.17  # + prepare/stitch
+    log(f"  => Euler profile ≈ {16/window:.2f} fps/chip "
+        f"(LCM profile 15.1 → measured LCM speedup ≈ {15.1/(16/window):.1f}x)")
+
+
 def bench_motion_loop():
     """Frame-axis attention formulations, chained x10 inside one jit at the
     UNet level geometries (LCM batch). The einsum form batches 65k tiny
@@ -745,6 +781,8 @@ if __name__ == "__main__":
         bench_motion_loop()
     if "denoise2" in which:
         bench_denoise()
+    if "euler" in which:
+        bench_euler()
     if "attnxl" in which:
         bench_attn_xl()
     if "vae2" in which:
