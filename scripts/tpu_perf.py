@@ -239,6 +239,56 @@ def bench_denoise():
            eng.m.unet_params, (), text, (), lat, key)
 
 
+def bench_e2e_loop():
+    """The FULL orchestrator loop on the real chip: scripts/vid2vid.py with
+    the flagship models, overlap stitching (color match + blend), prefetch
+    thread and state carry — in-memory IO, 6 windows. Validates the product
+    path end-to-end at speed (the facade-loop bench skips the stitch state
+    machine)."""
+    import tempfile
+    import numpy as np
+
+    import bench
+    from controlanimate_tpu.io.media import ArrayFrameSink, ArrayFrameSource
+    from scripts.vid2vid import vid2vid
+
+    with tempfile.TemporaryDirectory() as td:
+        cfg = bench.RunConfig(
+            width=512, height=512, frame_count=16, overlap_length=8,
+            use_lcm=True, steps=4, guidance_scale=7.5, strength=0.9,
+            overlap_strength=0.9, lcm_origin_steps=50, prompt="a cat",
+            n_prompt="", seed=7, dtype="bfloat16", output_video_dir=td,
+            upscale=1.0, checkpoint_interval=0,
+        )
+        pipeline = bench.build_pipeline(cfg)
+        rng = np.random.RandomState(0)
+        # 16 + 5*8 new frames -> 6 windows
+        frames_in = (rng.rand(56, 512, 512, 3) * 255).astype(np.uint8)
+        sink = ArrayFrameSink()
+        t0 = time.time()
+        summary = vid2vid(
+            config=cfg, pipeline=pipeline,
+            frame_source=ArrayFrameSource(frames_in), frame_sink=sink,
+        )
+        wall = time.time() - t0
+        log(f"e2e orchestrator: {summary['frames_written']} frames, "
+            f"{summary['windows']} windows in {wall:.1f}s (incl. compile) -> "
+            f"{summary['frames_written']/wall:.2f} fps cold; timers: "
+            f"{summary['timers']}")
+        assert summary["frames_written"] == 56, summary
+        # steady-state: run again with everything compiled
+        sink2 = ArrayFrameSink()
+        t0 = time.time()
+        summary2 = vid2vid(
+            config=cfg, pipeline=pipeline,
+            frame_source=ArrayFrameSource(frames_in), frame_sink=sink2,
+        )
+        wall2 = time.time() - t0
+        log(f"e2e orchestrator warm: {summary2['frames_written']} frames in "
+            f"{wall2:.1f}s -> {summary2['frames_written']/wall2:.2f} fps "
+            f"(16f windows emitting 8 novel frames each after window 0)")
+
+
 def bench_euler():
     """The reference's default profile (SampleConfig: 30-step Euler, CFG
     7.5, strength 1.0) through the engine programs — documents the measured
@@ -783,6 +833,8 @@ if __name__ == "__main__":
         bench_denoise()
     if "euler" in which:
         bench_euler()
+    if "e2e" in which:
+        bench_e2e_loop()
     if "attnxl" in which:
         bench_attn_xl()
     if "vae2" in which:

@@ -322,6 +322,50 @@ def vid2vid(
         return host_rgb
 
     windows_run = 0
+    pending_emit = None  # (packed_dev, to_yuv, start_idx, input_frames_for_dump)
+
+    def _flush_emit():
+        nonlocal pending_emit
+        if pending_emit is None:
+            return
+        packed, was_yuv, start_idx, dump_inputs = pending_emit
+        pending_emit = None
+        with timers.phase("upscale_and_emit"):
+            if was_yuv:
+                emitted_host = []
+                for fr in np.asarray(packed):
+                    frame_sink.write(fr)
+            else:
+                emitted_host = _emit(packed)
+        if cfg.save_frames:
+            # output + input frame dumps and a config snapshot
+            # (reference: vid2vid.py:246-262 info.json + frame PNGs)
+            import dataclasses
+            import json
+
+            from PIL import Image
+
+            fdir = out_dir / "vid2vid_frames"
+            fdir_in = out_dir / "vid2vid_input_frames"
+            fdir.mkdir(exist_ok=True)
+            fdir_in.mkdir(exist_ok=True)
+            info = out_dir / "info.json"
+            if not info.exists():
+                snap = dataclasses.asdict(cfg)
+                snap["seed"] = seed
+                info.write_text(json.dumps(snap, indent=2, default=str))
+            # `packed` holds the post-stitch RGB emit frames here (to_yuv is
+            # forced off when save_frames is on)
+            out_host = emitted_host or list(np.asarray(packed))
+            for i, frame in enumerate(out_host):
+                Image.fromarray(np.asarray(frame, np.uint8)).save(
+                    fdir / f"{start_idx + i + 1:04d}.png"
+                )
+            for i, frame in enumerate(dump_inputs):
+                Image.fromarray(np.asarray(frame, np.uint8)).save(
+                    fdir_in / f"{start_idx + i + 1:04d}.png"
+                )
+
     trace_ctx = maybe_trace(cfg.trace_dir)
     trace_ctx.__enter__()
     while True:
@@ -416,44 +460,17 @@ def vid2vid(
             state.overlap_frames = tail_dev
             state.overlap_input_frames = batch[-overlap_length:]
 
-        # emit all but the tail overlap; the tail is flushed after the loop
-        with timers.phase("upscale_and_emit"):
-            if to_yuv:
-                emitted_host = []
-                for fr in np.asarray(packed):
-                    frame_sink.write(fr)
-            else:
-                emitted_host = _emit(packed)
-            frames_written += emit
+        # flush the PREVIOUS window's emit now that this window's programs
+        # are queued: the device->host fetch overlaps device compute
+        _flush_emit()
 
-        if cfg.save_frames:
-            # output + input frame dumps and a config snapshot
-            # (reference: vid2vid.py:246-262 info.json + frame PNGs)
-            import dataclasses
-            import json
-
-            from PIL import Image
-
-            fdir = out_dir / "vid2vid_frames"
-            fdir_in = out_dir / "vid2vid_input_frames"
-            fdir.mkdir(exist_ok=True)
-            fdir_in.mkdir(exist_ok=True)
-            info = out_dir / "info.json"
-            if not info.exists():
-                snap = dataclasses.asdict(cfg)
-                snap["seed"] = seed
-                info.write_text(json.dumps(snap, indent=2, default=str))
-            # `packed` holds the post-stitch RGB emit frames here (to_yuv is
-            # forced off when save_frames is on)
-            out_host = emitted_host or list(np.asarray(packed))
-            for i, frame in enumerate(out_host):
-                Image.fromarray(np.asarray(frame, np.uint8)).save(
-                    fdir / f"{frames_written - emit + i + 1:04d}.png"
-                )
-            for i, frame in enumerate(batch[:emit]):
-                Image.fromarray(np.asarray(frame, np.uint8)).save(
-                    fdir_in / f"{frames_written - emit + i + 1:04d}.png"
-                )
+        # DEFERRED emit: the device->host fetch of this window's emit frames
+        # happens at the start of the NEXT iteration, right after the next
+        # window's programs are dispatched — so the readback rides the link
+        # while the device computes (it otherwise serializes ~0.3s/window on
+        # remote-attached chips). Tail overlap flushes after the loop.
+        frames_written += emit
+        pending_emit = (packed, to_yuv, frames_written - emit, list(batch[:emit]))
 
         state.epoch += 1
         windows_run += 1
@@ -461,7 +478,9 @@ def vid2vid(
             with timers.phase("checkpoint"):
                 _save_state(out_dir, state, nonlocal_consumed[0], frames_written, segment)
 
-    # flush the pending tail overlap frames (generated, not yet emitted)
+    # flush the last window's deferred emit, then the pending tail overlap
+    # frames (generated, not yet emitted)
+    _flush_emit()
     if state.overlap_frames is not None and state.overlap_length:
         _emit(jnp.asarray(state.overlap_frames))
         frames_written += state.overlap_length
