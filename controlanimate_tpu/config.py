@@ -192,9 +192,11 @@ class RunConfig:
     textual_inversion_paths: tuple[str, ...] = ("models/TI/easynegative.safetensors",)
 
     # job checkpoint/resume (new; the reference loses all progress on a
-    # mid-video crash — SURVEY §5.3/§5.4). Saving a checkpoint reads the
-    # overlap state back from device; raise the interval to amortize that
-    checkpoint_interval: int = 1
+    # mid-video crash — SURVEY §5.3/§5.4). Saves run on a worker thread
+    # (the overlap-state readback overlaps device compute) and only record
+    # frames already flushed to the sink; the interval bounds both the d2h
+    # bandwidth spent on snapshots and the windows lost to a crash
+    checkpoint_interval: int = 4
     resume: bool = False
     # profiling (new; reference has no tracing subsystem — SURVEY §5.1)
     trace_dir: Optional[str] = None

@@ -320,10 +320,12 @@ class MotionModule(nn.Module):
                 if self.use_pos_encoding
                 else None
             )
-            out = motion_module_fused(
+            # kernel returns the delta; add the residual here in the input
+            # dtype so fused/unfused paths promote identically (ADVICE r2)
+            delta = motion_module_fused(
                 h4.astype(self.dtype), p, heads=self.heads, pe=pe, nblk=nblk
             )
-            return out.reshape(B, F, H, W, C)
+            return x + delta.reshape(B, F, H, W, C)
 
         # per-frame GroupNorm over channels (reference:
         # TemporalTransformer3DModel.norm is a plain GroupNorm over c)

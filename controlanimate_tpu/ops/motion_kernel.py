@@ -7,7 +7,8 @@ transformer the reference runs as ~15 separate tensor ops
     GroupNorm (folded affine) -> proj_in
     -> 2 x [ LayerNorm -> +PE -> frame-axis attention -> residual ]
     -> LayerNorm -> GEGLU FFN -> residual
-    -> proj_out -> outer residual
+    -> proj_out   (the OUTER residual is added by the caller in the
+                   module's input dtype, matching the unfused path)
 
 Measured on v5e (in-context, full UNet forward): the fused kernel is a
 WASH vs XLA's op-by-op chain (205.9 vs 205.3 ms total forward) — XLA's
@@ -145,12 +146,16 @@ def _motion_kernel(
     h = h + jnp.stack(ff_rows, axis=0)
 
     out = _dot(h.reshape(F * nblk, C), wout_ref[:]).astype(dt) + bout_ref[0]
-    o_ref[0] = x + out.reshape(F, nblk, C)
+    # return the DELTA only: the caller adds the outer residual in the
+    # module's input dtype, so fused and unfused paths promote identically
+    o_ref[0] = out.reshape(F, nblk, C)
 
 
 def _estimate_vmem(F: int, nblk: int, C: int, itemsize: int) -> int:
     act = F * nblk * C * itemsize
-    weights = (9 * C * C + C * 8 * C + 4 * C * C // 2) * itemsize
+    # proj_in/out + 2 attn blocks (4 C^2 each) = 10 C^2; GEGLU w1 (C, 8C)
+    # and w2 (4C, C)
+    weights = (10 * C * C + C * 8 * C + 4 * C * C) * itemsize
     return 8 * act + weights
 
 

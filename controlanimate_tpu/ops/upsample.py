@@ -3,9 +3,9 @@
 The SD VAE decoder and the UNet's up blocks run `resize(nearest, 2x)` then a
 3x3 stride-1 conv (reference: diffusers Upsample2D / animatediff resnet.py
 Upsample3D :34-82). Because nearest upsampling only duplicates pixels, the
-composite is EXACTLY equal to four 2x2 convolutions on the HALF-resolution
-input — one per output parity (p, q) — with weights folded from the 3x3
-kernel:
+composite equals (exactly, in real arithmetic) four 2x2 convolutions on the
+HALF-resolution input — one per output parity (p, q) — with weights folded
+from the 3x3 kernel:
 
   out[2i+p, 2j+q] = sum_{dy,dx} w[dy,dx] * x[(2i+p+dy-1)//2, (2j+q+dx-1)//2]
 
@@ -17,7 +17,9 @@ That is 4*(2*2)=16 half-res taps instead of 9 full-res taps -> 4/9 of the
 MACs, and the 2x-upsampled activation (2.1 GB at the decoder's 512^2 level,
 16 frames) is never materialized. The three decoder upsample convs are ~11
 of its ~20 TFLOPs, so this is the decode path's single biggest algebraic
-saving. Exactness (not approximation) is pinned by tests.
+saving. f32 equality with the naive form is pinned by tests; in the bf16
+production path the folded weights round as bf16(w1+w2), which can differ
+from the naive form's bf16(w1)x + bf16(w2)x by ~1 ulp of the weight sum.
 """
 
 from __future__ import annotations

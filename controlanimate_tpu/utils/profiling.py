@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import contextlib
 import json
+import threading
 import time
 from collections import defaultdict
 from pathlib import Path
@@ -19,11 +20,15 @@ import jax
 
 
 class PhaseTimers:
-    """Accumulating named wall-clock timers with JSON export."""
+    """Accumulating named wall-clock timers with JSON export.
+
+    Thread-safe: the orchestrator times phases from the main loop, the
+    prefetch worker, and the checkpoint worker concurrently."""
 
     def __init__(self):
         self.totals: dict[str, float] = defaultdict(float)
         self.counts: dict[str, int] = defaultdict(int)
+        self._lock = threading.Lock()
 
     @contextlib.contextmanager
     def phase(self, name: str):
@@ -33,8 +38,9 @@ class PhaseTimers:
                 yield
             finally:
                 dt = time.perf_counter() - t0
-                self.totals[name] += dt
-                self.counts[name] += 1
+                with self._lock:
+                    self.totals[name] += dt
+                    self.counts[name] += 1
 
     def summary(self) -> dict:
         return {
