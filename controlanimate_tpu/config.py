@@ -72,6 +72,31 @@ class ArchConfig:
     steps_offset: int = 1
     clip_sample: bool = False
 
+    def __post_init__(self):
+        # Refuse silently-ignored architecture variants: a v1-style yaml with
+        # these enabled would otherwise load a DIFFERENT model with no
+        # warning. The reference itself hard-asserts the cross-frame branch
+        # off on its product path (animatediff/models/attention.py:194) and
+        # supports only the Vanilla motion module (motion_module.py:39-47).
+        if self.unet_use_cross_frame_attention:
+            raise NotImplementedError(
+                "unet_use_cross_frame_attention is not supported: the "
+                "sparse-causal attention branch is disabled in every shipped "
+                "reference config (inference-v{1,2}.yaml) and is not built "
+                "here. Remove the flag or use a supported inference config."
+            )
+        if self.unet_use_temporal_attention:
+            raise NotImplementedError(
+                "unet_use_temporal_attention is not supported: the extra "
+                "temp-attn sublayer is disabled in every shipped reference "
+                "config. Remove the flag or use a supported inference config."
+            )
+        if self.use_motion_module and self.motion_module_type != "Vanilla":
+            raise NotImplementedError(
+                f"motion_module_type={self.motion_module_type!r}: only "
+                "'Vanilla' exists (reference motion_module.py:39-47)."
+            )
+
     @staticmethod
     def from_yaml(path: str | Path) -> "ArchConfig":
         raw = yaml.safe_load(Path(path).read_text())
@@ -181,6 +206,10 @@ class RunConfig:
     strength: float = 1.0
     scheduler: str = "EulerDiscreteScheduler"
     lcm_origin_steps: int = 50
+    # CLIP penultimate-layer selection; the reference engine accepts this
+    # (controlanimation_pipeline.py:295-474 encode_prompt clip_skip) but its
+    # product path never exposes a config key — this one does
+    clip_skip: int = 0
 
     # media
     fps: int = 15

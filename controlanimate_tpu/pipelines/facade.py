@@ -356,7 +356,7 @@ class ControlAnimatePipeline:
         cfg = self.config
         strength = cfg.strength if strength is None else strength
 
-        pos, neg = self._encode_prompts(cfg.prompt, cfg.n_prompt)
+        pos, neg = self._encode_prompts(cfg.prompt, cfg.n_prompt, cfg.clip_skip)
 
         # IP-Adapter image tokens appended on the sequence axis
         # (reference: controlanimation_pipeline.py:698-710)

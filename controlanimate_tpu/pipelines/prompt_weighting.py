@@ -7,6 +7,11 @@ configs/prompts/SampleConfig.yaml). The parser accepts the Compel attention
 syntax: `word+`, `word++`, `word-`, `(multi word)+`, `(fragment)1.3`,
 nesting. Weights are 1.1^n for +/-, or the explicit float.
 
+Boundary: this is the ATTENTION-WEIGHTING subset of Compel — the subset the
+reference's shipped configs use. Compel's conjunction/blend operators
+(`.and()`, `.blend()`) are not implemented; such prompts pass through as
+literal text.
+
 Embedding strategy: per-token weight scaling with mean-norm restoration
 (encode the full prompt once, scale each token's embedding by its weight,
 then rescale so the overall embedding norm matches the unweighted one).

@@ -47,6 +47,29 @@ def test_ipadapter_profile_flags():
     assert cfg.use_ipadapter and cfg.do_initial_generation and cfg.guess_mode
 
 
+def test_unsupported_arch_flags_raise(tmp_path):
+    """A v1-style yaml enabling the sparse-causal / temp-attn branches must
+    fail loudly instead of silently loading a different model (VERDICT r2;
+    the reference hard-asserts the branch off, attention.py:194)."""
+    with pytest.raises(NotImplementedError, match="cross_frame"):
+        ArchConfig(unet_use_cross_frame_attention=True)
+    with pytest.raises(NotImplementedError, match="temporal_attention"):
+        ArchConfig(unet_use_temporal_attention=True)
+    with pytest.raises(NotImplementedError, match="Vanilla"):
+        ArchConfig(motion_module_type="Exotic")
+    y = tmp_path / "arch.yaml"
+    y.write_text(
+        "unet_additional_kwargs:\n  unet_use_cross_frame_attention: true\n"
+    )
+    with pytest.raises(NotImplementedError, match="cross_frame"):
+        ArchConfig.from_yaml(y)
+
+
+def test_clip_skip_key_parses():
+    cfg = RunConfig.from_dict({"clip_skip": 2})
+    assert cfg.clip_skip == 2 and cfg.extras == {}
+
+
 @pytest.mark.parametrize("name,mid,maxlen,inflated", [
     ("inference-v1", False, 24, False),
     ("inference-v2", True, 32, True),
