@@ -202,7 +202,8 @@ class GEGLU(nn.Module):
     def __call__(self, x):
         h = nn.Dense(self.dim_out * 2, name="proj", dtype=self.dtype)(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        return h * nn.gelu(gate)
+        # diffusers GEGLU uses F.gelu == exact erf (not tanh approximation)
+        return h * nn.gelu(gate, approximate=False)
 
 
 class FeedForward(nn.Module):

@@ -211,10 +211,11 @@ class TemporalTransformerBlock(nn.Module):
         for b in blocks:
             x = b(x)
         h = _layernorm(x, ls, lb)
-        # GEGLU FFN (layers.FeedForward semantics: nn.gelu on the gate half)
+        # GEGLU FFN (layers.FeedForward semantics: exact-erf gelu on the
+        # gate half, matching diffusers F.gelu)
         g = _dense(h, w1, b1, self.dtype)
         inner = g.shape[-1] // 2
-        ff = g[..., :inner] * nn.gelu(g[..., inner:])
+        ff = g[..., :inner] * nn.gelu(g[..., inner:], approximate=False)
         ff = _dense(ff, w2, b2, self.dtype)
         return x + ff
 
@@ -297,8 +298,10 @@ class MotionModule(nn.Module):
         if use_fused:
             tp = blocks[0](jnp.zeros((0, 0, 0, C), x.dtype), return_params=True)
             # GroupNorm stats are per (B·F) sample over all spatial locations
+            # (reference motion_module.py:111 uses eps=1e-6, not the UNet
+            # resnets' 1e-5)
             a, b = groupnorm_fold(
-                h4.reshape(B * F, N, C), gs, gb, self.groups
+                h4.reshape(B * F, N, C), gs, gb, self.groups, eps=1e-6
             )
             p = {
                 "gn_a": a.reshape(B, F, C), "gn_b": b.reshape(B, F, C),
@@ -330,7 +333,7 @@ class MotionModule(nn.Module):
         # per-frame GroupNorm over channels (reference:
         # TemporalTransformer3DModel.norm is a plain GroupNorm over c)
         flat = h4.reshape(B * F, N, C)
-        a, b = groupnorm_fold(flat, gs, gb, self.groups)
+        a, b = groupnorm_fold(flat, gs, gb, self.groups, eps=1e-6)
         h = flat * a[:, None, :] + b[:, None, :]
         h = _dense(h, win, bin_, self.dtype)
         h = h.reshape(B, F, N, C)

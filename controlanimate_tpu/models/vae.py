@@ -65,7 +65,8 @@ def _gn_silu_conv(x, gn_params, conv_params, groups, dtype, residual=None):
     when enabled/aligned, else the XLA oracle path (identical numerics)."""
     scale, bias = gn_params
     kernel, cbias = conv_params
-    affine = ck.groupnorm_fold(x, scale, bias, groups)
+    # diffusers' VAE hardcodes norm eps=1e-6 (Encoder/Decoder ResnetBlock2D)
+    affine = ck.groupnorm_fold(x, scale, bias, groups, eps=1e-6)
     if _fusable(x, kernel.shape[-1]):
         return ck.conv3x3_fused(
             x, kernel.astype(dtype), cbias, affine=affine, act="silu",
@@ -107,7 +108,7 @@ class VaeAttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        h = GroupNorm(self.groups, name="group_norm")(x).reshape(B, H * W, C)
+        h = GroupNorm(self.groups, epsilon=1e-6, name="group_norm")(x).reshape(B, H * W, C)
         q = nn.Dense(C, name="to_q", dtype=self.dtype)(h)
         k = nn.Dense(C, name="to_k", dtype=self.dtype)(h)
         v = nn.Dense(C, name="to_v", dtype=self.dtype)(h)
@@ -172,7 +173,7 @@ class Encoder(nn.Module):
         h = VaeResnetBlock(ch[-1], self.groups, name="mid_res_0", dtype=self.dtype)(h)
         h = VaeAttnBlock(self.groups, name="mid_attn", dtype=self.dtype)(h)
         h = VaeResnetBlock(ch[-1], self.groups, name="mid_res_1", dtype=self.dtype)(h)
-        h = GroupNorm(self.groups, name="conv_norm_out")(h)
+        h = GroupNorm(self.groups, epsilon=1e-6, name="conv_norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(
             2 * self.latent_channels, (3, 3), padding=1, name="conv_out", dtype=self.dtype
@@ -198,7 +199,7 @@ class Decoder(nn.Module):
                 h = VaeResnetBlock(c, self.groups, name=f"up_{i}_res_{j}", dtype=self.dtype)(h)
             if i < len(ch) - 1:
                 h = Upsample2D(c, name=f"up_{i}_upsample", dtype=self.dtype)(h)
-        h = GroupNorm(self.groups, name="conv_norm_out")(h)
+        h = GroupNorm(self.groups, epsilon=1e-6, name="conv_norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(
             self.out_channels, (3, 3), padding=1, name="conv_out", dtype=self.dtype

@@ -24,7 +24,7 @@ per-head probabilities are broadcast back to C lanes with the transposed
 ones matrix — the MXU does the (de)interleaving that Mosaic reshapes can't.
 
 Numerics match the unfused modules: f32 LN/GroupNorm statistics, f32
-softmax over frames, f32 tanh-approximate GELU, bf16 matmul inputs with
+softmax over frames, f32 exact-erf GELU, bf16 matmul inputs with
 f32 accumulation.
 """
 
@@ -67,10 +67,10 @@ def _ln(h, scale, bias, eps=1e-5):
     return (h * a + b) * scale + bias
 
 
-def _gelu_tanh_f32(x):
+def _gelu_f32(x):
+    """Exact-erf GELU with f32 math (diffusers GEGLU uses F.gelu exact)."""
     x32 = x.astype(jnp.float32)
-    c = math.sqrt(2.0 / math.pi)
-    return (0.5 * x32 * (1.0 + jnp.tanh(c * (x32 + 0.044715 * x32**3)))).astype(x.dtype)
+    return (0.5 * x32 * (1.0 + jax.lax.erf(x32 / math.sqrt(2.0)))).astype(x.dtype)
 
 
 def _dot(a, b):
@@ -141,7 +141,7 @@ def _motion_kernel(
     for f in range(F):
         g = _dot(z[f], w1_ref[:]).astype(dt) + b1_ref[0]   # (nblk, 2*inner)
         inner = g.shape[-1] // 2
-        gg = g[:, :inner] * _gelu_tanh_f32(g[:, inner:])
+        gg = g[:, :inner] * _gelu_f32(g[:, inner:])
         ff_rows.append(_dot(gg, w2_ref[:]).astype(dt) + b2_ref[0])
     h = h + jnp.stack(ff_rows, axis=0)
 

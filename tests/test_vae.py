@@ -65,3 +65,40 @@ def test_legacy_attention_key_normalization():
     assert "encoder.mid_block.attentions.0.to_q.weight" in out
     assert out["encoder.mid_block.attentions.0.to_q.weight"].shape == (8, 8)
     assert "encoder.mid_block.attentions.0.to_out.0.bias" in out
+
+
+def test_vae_golden_vs_torch_oracle():
+    """Golden numerics vs an independent torch AutoencoderKL mirror
+    (VERDICT r2 #1; tests/torch_mirrors.py), weights via vae_weights.py."""
+    import torch
+
+    from controlanimate_tpu.weights.vae_weights import vae_params_from_torch
+    from torch_mirrors import TorchVAE, randomize_
+
+    ch = (8, 16, 16, 16)
+    oracle = TorchVAE(ch, latent_channels=4, groups=4)
+    randomize_(oracle, seed=5)
+    sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+    params = vae_params_from_torch(sd, ch)
+    vae = AutoencoderKL(block_out_channels=ch, groups=4)
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(1, 64, 64, 3).astype(np.float32)
+    mean_j, logvar_j = vae.apply(
+        {"params": params}, jnp.asarray(x), method=AutoencoderKL.encode_moments
+    )
+    with torch.no_grad():
+        mean_t, logvar_t = oracle.encode_moments(torch.tensor(x).permute(0, 3, 1, 2))
+    mean_t = mean_t.permute(0, 2, 3, 1).numpy()
+    logvar_t = np.clip(logvar_t.permute(0, 2, 3, 1).numpy(), -30.0, 20.0)
+    assert np.abs(np.asarray(mean_j) - mean_t).max() < 1e-4, "encoder mean diverges"
+    assert np.abs(np.asarray(logvar_j) - logvar_t).max() < 1e-4, "encoder logvar diverges"
+
+    z = rng.randn(1, 8, 8, 4).astype(np.float32)
+    dec_j = vae.apply(
+        {"params": params}, jnp.asarray(z) * vae.scaling_factor, method=AutoencoderKL.decode
+    )
+    with torch.no_grad():
+        dec_t = oracle.decode(torch.tensor(z).permute(0, 3, 1, 2))
+    dec_t = dec_t.permute(0, 2, 3, 1).numpy()
+    assert np.abs(np.asarray(dec_j) - dec_t).max() < 1e-4, "decoder diverges"
