@@ -314,3 +314,226 @@ def test_guess_mode_cfg_controlnet(engine):
     )
     assert out.shape == (1, 2, 32, 32, 3)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+# ---------------------------------------------------------------------------
+# Full-window golden vs torch (VERDICT r2 #1, part 2): prepare_latents ->
+# denoise loop -> decode reimplemented in torch/numpy (reference
+# controlanimation_pipeline.py:549-613,790-855,501-514) against
+# AnimationEngine end-to-end with identical weights and noise draws.
+# ---------------------------------------------------------------------------
+
+
+def _oracle_models():
+    import torch
+
+    from controlanimate_tpu.weights.unet_weights import unet_params_from_torch
+    from controlanimate_tpu.weights.vae_weights import vae_params_from_torch
+    from torch_mirrors import TorchUNet3D, TorchVAE, randomize_
+
+    vch = (4, 8, 8, 8)
+    tvae = TorchVAE(vch, latent_channels=4, groups=2)
+    randomize_(tvae, seed=21)
+    vae_params = vae_params_from_torch(
+        {k: v.numpy() for k, v in tvae.state_dict().items()}, vch
+    )
+    vae = AutoencoderKL(block_out_channels=vch, groups=2)
+    return tvae, vae, vae_params
+
+
+def _oracle_unet(cfg, seed=22):
+    import torch
+
+    from controlanimate_tpu.weights.unet_weights import unet_params_from_torch
+    from torch_mirrors import TorchUNet3D, randomize_
+
+    tunet = TorchUNet3D(cfg)
+    randomize_(tunet, seed=seed)
+    sd = {k: v.numpy() for k, v in tunet.state_dict().items() if "pos_encoder" not in k}
+    params, _ = unet_params_from_torch(sd, cfg, motion_sd=sd)
+    return tunet, params
+
+
+def _t_encode(tvae, frames_u8, noise_nhwc, scaling=0.18215):
+    """Mirror engine._encode_frames: uint8 -> [-1,1], posterior sample with
+    the given normal draws, scale."""
+    import torch
+
+    B, F, H, W, _ = frames_u8.shape
+    x = frames_u8.astype(np.float32) / 127.5 - 1.0
+    with torch.no_grad():
+        mean, logvar = tvae.encode_moments(
+            torch.tensor(x.reshape(B * F, H, W, 3)).permute(0, 3, 1, 2)
+        )
+    mean = mean.permute(0, 2, 3, 1).numpy()
+    logvar = np.clip(logvar.permute(0, 2, 3, 1).numpy(), -30.0, 20.0)
+    z = mean + np.exp(0.5 * logvar) * noise_nhwc
+    return (z * scaling).reshape(B, F, *z.shape[1:])
+
+
+def _t_decode(tvae, lat, scaling=0.18215):
+    import torch
+
+    B, F = lat.shape[:2]
+    flat = lat.reshape(B * F, *lat.shape[2:])
+    with torch.no_grad():
+        img = tvae.decode(torch.tensor(flat / scaling).permute(0, 3, 1, 2))
+    img = img.permute(0, 2, 3, 1).numpy()
+    return np.clip(img / 2 + 0.5, 0.0, 1.0).reshape(B, F, *img.shape[1:])
+
+
+def _t_unet(tunet, lat, t, ctx, w_emb=None):
+    import torch
+
+    B = lat.shape[0]
+    with torch.no_grad():
+        out = tunet(
+            torch.tensor(lat).permute(0, 4, 1, 2, 3),
+            torch.full((B,), float(t)).long(),
+            torch.tensor(ctx),
+            None if w_emb is None else torch.tensor(w_emb),
+        )
+    return out.permute(0, 2, 3, 4, 1).numpy()
+
+
+def test_window_golden_euler_cfg_vs_torch():
+    """Euler/CFG vid2vid window with overlap noising, end to end."""
+    tvae, vae, vae_params = _oracle_models()
+    tunet, unet_params = _oracle_unet(UCFG)
+    models = EngineModels(
+        unet=UNet3DConditionModel(UCFG), unet_params=unet_params,
+        vae=vae, vae_params=vae_params,
+    )
+    eng = AnimationEngine(models, make_schedule())
+
+    B, F, H, W, K = 1, 4, 32, 32, 2
+    steps, strength, g = 4, 0.8, 7.5
+    rng = np.random.RandomState(0)
+    input_frames = rng.randint(0, 255, (B, F, H, W, 3), dtype=np.uint8)
+    last_frames = rng.randint(0, 255, (B, K, H, W, 3), dtype=np.uint8)
+    ctx = rng.randn(2 * B, 7, 16).astype(np.float32) * 0.5
+
+    st = WindowStatic(
+        scheduler_name="EulerDiscreteScheduler", steps=steps, strength=strength,
+        guidance_scale=g, overlaps=K, has_input_frames=True,
+        has_last_output_frames=True,
+    )
+    key = jax.random.PRNGKey(42)
+    out_j = np.asarray(eng.generate_window(
+        st, jnp.asarray(ctx), key,
+        input_frames=jnp.asarray(input_frames),
+        last_output_frames=jnp.asarray(last_frames),
+    ))
+
+    # ---- torch/numpy reimplementation ----
+    # scheduler tables (diffusers EulerDiscrete semantics, independent impl)
+    ts_f = np.linspace(0, 999, steps, dtype=np.float64)[::-1]
+    init_t = min(int(steps * strength), steps)
+    ts_f = ts_f[max(steps - init_t, 0):]
+    betas = np.linspace(0.00085, 0.012, 1000, dtype=np.float64)
+    abar = np.cumprod(1.0 - betas)
+    sig_table = np.sqrt((1.0 - abar) / abar)
+    sigmas = np.concatenate([np.interp(ts_f, np.arange(1000), sig_table), [0.0]])
+    ts_round = np.round(ts_f).astype(np.int64)
+
+    # the engine's exact key tree
+    k_prep, k_loop = jax.random.split(key)
+    k_noise, k_in, k_out = jax.random.split(k_prep, 3)
+    lat_shape = (B, F, H // 8, W // 8, 4)
+    noise = np.asarray(jax.random.normal(k_noise, lat_shape, jnp.float32))
+    n_in = np.asarray(jax.random.normal(k_in, (B * F, H // 8, W // 8, 4), jnp.float32))
+    n_out = np.asarray(jax.random.normal(k_out, (B * K, H // 8, W // 8, 4), jnp.float32))
+
+    last_lat = _t_encode(tvae, last_frames, n_out)
+    # overlap slots from last outputs, tail from the anchor (use_img2img off,
+    # reference :595-604), then noise to the first kept timestep
+    anchor = last_lat[:, -1:]
+    source = np.concatenate([last_lat, np.broadcast_to(anchor, (B, F - K, *lat_shape[2:]))], axis=1)
+    lat = source + sigmas[0] * noise
+
+    for i, (t, sig) in enumerate(zip(ts_round, sigmas[:-1])):
+        lat_in = np.concatenate([lat, lat], axis=0) / np.sqrt(sig**2 + 1.0)
+        eps = _t_unet(tunet, lat_in.astype(np.float32), t, ctx)
+        uncond, cond = eps[:B], eps[B:]
+        eps = uncond + g * (cond - uncond)
+        x0 = lat - sig * eps
+        lat = lat + (lat - x0) / sig * (sigmas[i + 1] - sig)
+
+    out_t = _t_decode(tvae, lat.astype(np.float32))
+    err = np.abs(out_j - out_t).max()
+    assert err < 2e-3, err
+
+
+def test_window_golden_lcm_vs_torch():
+    """Native-LCM window: origin-strided timesteps, w-embedding, boundary
+    scalings, multistep re-noising (reference :731-732,768-771,1143-1269)."""
+    tvae, vae, vae_params = _oracle_models()
+    tunet, unet_params = _oracle_unet(LCM_UCFG, seed=23)
+    models = EngineModels(
+        unet=UNet3DConditionModel(LCM_UCFG), unet_params=unet_params,
+        vae=vae, vae_params=vae_params,
+    )
+    eng = AnimationEngine(models, make_schedule())
+
+    B, F, H, W = 1, 4, 32, 32
+    steps, strength, g, origin = 2, 0.9, 7.5, 8
+    rng = np.random.RandomState(1)
+    input_frames = rng.randint(0, 255, (B, F, H, W, 3), dtype=np.uint8)
+    ctx = rng.randn(B, 7, 16).astype(np.float32) * 0.5
+
+    st = WindowStatic(
+        scheduler_name="LCMScheduler", steps=steps, strength=strength,
+        guidance_scale=g, use_lcm=True, lcm_origin_steps=origin,
+        has_input_frames=True,
+    )
+    key = jax.random.PRNGKey(7)
+    out_j = np.asarray(eng.generate_window(
+        st, jnp.asarray(ctx), key, input_frames=jnp.asarray(input_frames),
+    ))
+
+    # LCM timestep table (reference :1162-1170)
+    betas = np.linspace(0.00085, 0.012, 1000, dtype=np.float64)
+    abar = np.cumprod(1.0 - betas)
+    c = 1000 // origin
+    origin_ts = np.arange(1, int(origin * strength) + 1) * c - 1
+    skipping = max(len(origin_ts) // steps, 1)
+    ts = origin_ts[::-skipping][:steps].astype(np.int64)
+    ts_next = np.concatenate([ts[1:], [0]])
+    scaled = ts.astype(np.float64) * 10.0
+    c_skip = 0.5**2 / (scaled**2 + 0.5**2)
+    c_out = scaled / np.sqrt(scaled**2 + 0.5**2)
+
+    # w-embedding (reference :477-498): [sin, cos] order
+    w = np.full((B,), g * 1000.0)
+    half = 4
+    emb = np.exp(np.arange(half) * -(np.log(10000.0) / (half - 1)))
+    emb = w[:, None] * emb[None]
+    w_emb = np.concatenate([np.sin(emb), np.cos(emb)], axis=1).astype(np.float32)
+
+    k_prep, k_loop = jax.random.split(key)
+    k_noise, k_in, k_out = jax.random.split(k_prep, 3)
+    lat_shape = (B, F, H // 8, W // 8, 4)
+    noise = np.asarray(jax.random.normal(k_noise, lat_shape, jnp.float32))
+    n_in = np.asarray(jax.random.normal(k_in, (B * F, H // 8, W // 8, 4), jnp.float32))
+
+    frames_lat = _t_encode(tvae, input_frames, n_in)
+    a0 = abar[ts[0]]
+    lat = np.sqrt(a0) * frames_lat + np.sqrt(1.0 - a0) * noise
+
+    for i, t in enumerate(ts):
+        eps = _t_unet(tunet, lat.astype(np.float32), t, ctx, w_emb=w_emb)
+        a_t = abar[t]
+        x0 = (lat - np.sqrt(1.0 - a_t) * eps) / np.sqrt(a_t)
+        denoised = c_out[i] * x0 + c_skip[i] * lat
+        if i == len(ts) - 1:
+            lat = denoised
+        else:
+            step_noise = np.asarray(jax.random.normal(
+                jax.random.fold_in(k_loop, i), lat.shape, jnp.float32
+            ))
+            a_n = abar[ts_next[i]]
+            lat = np.sqrt(a_n) * denoised + np.sqrt(1.0 - a_n) * step_noise
+
+    out_t = _t_decode(tvae, lat.astype(np.float32))
+    err = np.abs(out_j - out_t).max()
+    assert err < 2e-3, err
