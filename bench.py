@@ -1,13 +1,15 @@
-"""Headline benchmark: LCM vid2vid frames/sec/chip at 512x512, 16-frame window.
+"""Benchmarks on the product path (facade-constructed pipeline, the same
+code `python main.py --config ...` drives). Full SD1.5-geometry AnimateDiff
+UNet3D (motion modules v2) + VAE, bfloat16, single chip.
 
-Matches the driver-defined metric (BASELINE.json) and — unlike round 1 —
-measures the PRODUCT path: a facade-constructed ControlAnimatePipeline
-(`RunConfig.dtype` policy, uint8 host<->device framing, prompt cache), the
-same code `python main.py --config ...` drives. Full SD1.5-geometry
-AnimateDiff UNet3D (motion modules v2) + VAE, 4 LCM steps, bfloat16,
-single chip. North star: >=10 frames/sec/chip (vs_baseline = value / 10).
-
-Prints ONE JSON line on stdout; diagnostics go to stderr.
+Emits THREE JSON lines on stdout (diagnostics on stderr), headline LAST:
+  1. the reference's default profile: 30-step Euler CFG 7.5, with the
+     measured LCM speedup multiple (the reference README claims "10X");
+  2. the shipped-profile configuration: overlap-8 sliding windows through
+     the FULL orchestrator (scripts/vid2vid.py) at frame_count 24,
+     counting only frames actually emitted to the sink;
+  3. headline (driver metric, BASELINE.json): LCM vid2vid frames/sec/chip,
+     512px 16-frame window, 4 steps. North star >=10 (vs_baseline = /10).
 """
 
 from __future__ import annotations
@@ -21,12 +23,29 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import jax
 
+REPO = Path(__file__).resolve().parent
+CACHE_DIR = REPO / ".jax_cache"
+CACHE_SEED = REPO / "scripts" / "bench_cache.tar.gz"
+
+
+def _seed_cache():
+    """Unpack the committed compile-cache seed on a fresh checkout so cold
+    start pays cache loads, not XLA compiles (VERDICT r2 #2: .jax_cache is
+    gitignored, so the driver's clean clone always compiled from scratch)."""
+    if not any(CACHE_DIR.glob("*")) and CACHE_SEED.exists():
+        import tarfile
+
+        CACHE_DIR.mkdir(exist_ok=True)
+        with tarfile.open(CACHE_SEED, "r:gz") as tf:
+            tf.extractall(CACHE_DIR)
+        print(f"seeded compile cache from {CACHE_SEED.name}", file=sys.stderr)
+
+
+CACHE_DIR.mkdir(exist_ok=True)
+_seed_cache()
 # persistent compilation cache: verified to work through the remote-compile
-# tunnel (74MB of executables cached; second run skips the ~180s compile)
-jax.config.update(
-    "jax_compilation_cache_dir",
-    str(Path(__file__).resolve().parent / ".jax_cache"),
-)
+# tunnel (second run skips the ~180s compile)
+jax.config.update("jax_compilation_cache_dir", str(CACHE_DIR))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
@@ -80,6 +99,77 @@ def build_pipeline(cfg: RunConfig) -> ControlAnimatePipeline:
 
     models = EngineModels(unet=unet, unet_params=unet_params, vae=vae, vae_params=vae_params)
     return ControlAnimatePipeline(cfg, models=models, text_stack=TextStack(tok, tmodel, tparams))
+
+
+def measure_euler(pipeline, frames=16, size=512, steps=30) -> float:
+    """The reference's default profile (SampleConfig: 30-step Euler, CFG
+    7.5): frames/sec through the engine's denoise+decode programs."""
+    from controlanimate_tpu.pipelines.engine import WindowStatic
+
+    eng = pipeline.engine
+    st = WindowStatic(
+        scheduler_name="EulerDiscreteScheduler", steps=steps, guidance_scale=7.5,
+        strength=1.0, frame_count=frames, height=size, width=size, output_uint8=True,
+    )
+    sched = eng.build_scheduler(st)
+    denoise = eng._make_denoise_fn(st, sched)
+    decode = eng._make_decode_fn(True)
+    key = jax.random.PRNGKey(0)
+    text = jax.random.normal(key, (2, 77, 768), jnp.bfloat16)
+    lat = jax.random.normal(key, (1, frames, size // 8, size // 8, 4), jnp.float32)
+
+    def window(lat):
+        return decode(eng.m.vae_params, denoise(eng.m.unet_params, (), text, (), lat, key))
+
+    out = window(lat)  # compile + warmup
+    float(out.astype(jnp.float32).sum())
+    times = []
+    for _ in range(2):
+        t0 = time.time()
+        out = window(lat)
+        float(out.astype(jnp.float32).sum())
+        times.append(time.time() - t0)
+    t = min(times)
+    log(f"euler {steps}-step window: {t:.2f}s -> {frames / t:.2f} fps")
+    return frames / t
+
+
+def measure_overlap8(pipeline, frames=24, size=512, windows=5) -> float:
+    """The shipped-profile configuration through the FULL orchestrator
+    (scripts/vid2vid.py: prefetch thread, fused stitch, deferred emit),
+    in-memory IO, counting only frames emitted to the sink. With overlap 8 a
+    24-frame window emits 16 novel frames (VERDICT r2 #3; the v2 motion PE
+    table allows up to 32)."""
+    import tempfile
+
+    from controlanimate_tpu.io.media import ArrayFrameSink, ArrayFrameSource
+    from controlanimate_tpu.pipelines.facade import ControlAnimatePipeline
+    from scripts.vid2vid import vid2vid
+
+    novel = frames - 8
+    total = frames + (windows - 1) * novel
+    rng = np.random.RandomState(1)
+    frames_in = (rng.rand(total, size, size, 3) * 255).astype(np.uint8)
+    with tempfile.TemporaryDirectory() as td:
+        cfg = pipeline.config.replace(
+            frame_count=frames, overlap_length=8, overlap_strength=0.9,
+            output_video_dir=td, checkpoint_interval=0,
+        )
+        pipe = ControlAnimatePipeline(cfg, models=pipeline.models, text_stack=pipeline.text)
+        t0 = time.time()
+        s = vid2vid(config=cfg, pipeline=pipe,
+                    frame_source=ArrayFrameSource(frames_in), frame_sink=ArrayFrameSink())
+        log(f"overlap8 cold: {s['frames_written']} frames in {time.time()-t0:.1f}s")
+        sink = ArrayFrameSink()
+        t0 = time.time()
+        s = vid2vid(config=cfg, pipeline=pipe,
+                    frame_source=ArrayFrameSource(frames_in), frame_sink=sink)
+        wall = time.time() - t0
+        fps = s["frames_written"] / wall
+        log(f"overlap8 warm: {s['frames_written']} frames / {s['windows']} windows "
+            f"in {wall:.1f}s -> {fps:.2f} emitted fps")
+        assert len(sink.frames) == total
+    return fps
 
 
 def main(frames: int = 16, size: int = 512, steps: int = 4, iters: int = 16):
@@ -148,6 +238,33 @@ def main(frames: int = 16, size: int = 512, steps: int = 4, iters: int = 16):
     ex.shutdown(wait=False)
     fps = frames * iters / total
     log(f"sustained: {iters} windows in {total:.2f}s")
+
+    # secondary metrics (VERDICT r2 #3/#5), headline stays the LAST line
+    fps_euler = measure_euler(pipeline, frames=frames, size=size)
+    print(
+        json.dumps(
+            {
+                "metric": f"Euler 30-step CFG 7.5 frames/sec/chip ({size}px, {frames}-frame window; reference default profile)",
+                "value": round(fps_euler, 3),
+                "unit": "frames/sec/chip",
+                "lcm_speedup_multiple": round(fps / fps_euler, 1),
+                "reference_claim": "10X (README.md:16)",
+            }
+        ),
+        flush=True,
+    )
+    fps_o8 = measure_overlap8(pipeline, frames=24, size=size)
+    print(
+        json.dumps(
+            {
+                "metric": f"overlap-8 emitted frames/sec/chip ({size}px, 24-frame windows, full orchestrator, LCM {steps} steps)",
+                "value": round(fps_o8, 3),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps_o8 / 10.0, 3),
+            }
+        ),
+        flush=True,
+    )
     print(
         json.dumps(
             {
@@ -156,7 +273,8 @@ def main(frames: int = 16, size: int = 512, steps: int = 4, iters: int = 16):
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / 10.0, 3),
             }
-        )
+        ),
+        flush=True,
     )
 
 

@@ -178,15 +178,19 @@ class AnimationEngine:
             if input_frames is not None
             else None
         )
+
+        if st.use_lcm:
+            # LCM noises the stacked input-frame latents only (reference
+            # :591-593); last_output_frames never reach the latent path, so
+            # skip their VAE encode entirely (~K frame encodes per window)
+            assert frames_latents is not None
+            return sched.add_noise(frames_latents, noise, 0)
+
         last_latents = (
             self._encode_frames(vae_params, last_output_frames, k_out)
             if last_output_frames is not None
             else None
         )
-
-        if st.use_lcm:
-            assert frames_latents is not None
-            return sched.add_noise(frames_latents, noise, 0)
 
         if last_latents is not None and st.strength < 1.0:
             F = latent_shape[1]

@@ -484,7 +484,7 @@ def bench_transfer():
         log(f"d2h 12.6MB u8: {(time.time()-t0)*1000:.1f} ms")
 
 
-def bench_programs():
+def bench_programs(F: int = 16):
     """Per-stage breakdown of the production window at bench geometry:
     prepare / denoise / decode programs + stitch ops (color match, yuv)."""
     import numpy as np
@@ -495,7 +495,7 @@ def bench_programs():
     from controlanimate_tpu.pipelines.engine import WindowStatic
 
     cfg = bench.RunConfig(
-        width=512, height=512, frame_count=16, overlap_length=8,
+        width=512, height=512, frame_count=F, overlap_length=8,
         use_lcm=True, steps=4, guidance_scale=7.5, strength=0.9,
         lcm_origin_steps=50, prompt="a cat", n_prompt="", seed=7,
         dtype="bfloat16",
@@ -504,7 +504,7 @@ def bench_programs():
     eng = pipeline.engine
     st = WindowStatic(
         steps=4, use_lcm=True, guidance_scale=7.5, strength=0.9,
-        lcm_origin_steps=50, frame_count=16, height=512, width=512,
+        lcm_origin_steps=50, frame_count=F, height=512, width=512,
         output_uint8=True,
     )
     sched = eng.build_scheduler(st)
@@ -514,18 +514,18 @@ def bench_programs():
 
     key = jax.random.PRNGKey(0)
     rng = __import__("numpy").random.RandomState(0)
-    frames = jnp.asarray((rng.rand(1, 16, 512, 512, 3) * 255).astype("uint8"))
+    frames = jnp.asarray((rng.rand(1, F, 512, 512, 3) * 255).astype("uint8"))
     text = jax.random.normal(key, (1, 77, 768), jnp.bfloat16)
-    latent_shape = (1, 16, 64, 64, 4)
+    latent_shape = (1, F, 64, 64, 4)
 
-    lat = timeit_ret("prepare (incl vae encode 16f)", lambda: prepare(
+    lat = timeit_ret(f"prepare (incl vae encode {F}f)", lambda: prepare(
         eng.m.vae_params, frames, None, latent_shape, key))
     lat2 = timeit_ret("denoise (4 LCM steps)", lambda: denoise(
         eng.m.unet_params, (), text, (), lat, key))
-    out = timeit_ret("decode (16f -> u8)", lambda: decode(eng.m.vae_params, lat2))
+    out = timeit_ret(f"decode ({F}f -> u8)", lambda: decode(eng.m.vae_params, lat2))
     ref = out[0, 0]
-    timeit_ret("color_match_u8 16f", lambda: match_colors_u8(out[0], ref))
-    timeit_ret("rgb_to_yuv420 16f", lambda: rgb_to_yuv420(out[0]))
+    timeit_ret(f"color_match_u8 {F}f", lambda: match_colors_u8(out[0], ref))
+    timeit_ret(f"rgb_to_yuv420 {F}f", lambda: rgb_to_yuv420(out[0]))
 
 
 def timeit_ret(name, fn, iters=3):
@@ -765,6 +765,64 @@ def bench_window_staged():
     log(f"staged fps: {16/min(times):.2f}")
 
 
+def bench_bigwin():
+    """Emitted-fps study for larger windows (VERDICT r2 #3): with overlap 8,
+    a 16-frame window emits 8 novel frames, a 24-frame window 16, a 32-frame
+    window 24 — the motion PE table (v2 max_len 32) allows all three. Runs
+    the FULL orchestrator loop in-memory at each frame_count and reports the
+    warm emitted rate."""
+    import tempfile
+    import numpy as np
+
+    import bench
+    from controlanimate_tpu.io.media import ArrayFrameSink, ArrayFrameSource
+    from scripts.vid2vid import vid2vid
+
+    import sys as _sys
+
+    counts = (24,) if "bigwin24" in _sys.argv else (16, 24)
+    pipeline = None
+    for F in counts:
+        with tempfile.TemporaryDirectory() as td:
+            cfg = bench.RunConfig(
+                width=512, height=512, frame_count=F, overlap_length=8,
+                use_lcm=True, steps=4, guidance_scale=7.5, strength=0.9,
+                overlap_strength=0.9, lcm_origin_steps=50, prompt="a cat",
+                n_prompt="", seed=7, dtype="bfloat16", output_video_dir=td,
+                upscale=1.0, checkpoint_interval=0,
+            )
+            if pipeline is None:
+                pipeline = bench.build_pipeline(cfg)
+            else:
+                from controlanimate_tpu.pipelines.facade import ControlAnimatePipeline
+
+                pipeline = ControlAnimatePipeline(
+                    cfg, models=pipeline.models, text_stack=pipeline.text
+                )
+            novel = F - 8
+            n_windows = 8
+            total = F + (n_windows - 1) * novel
+            rng = np.random.RandomState(0)
+            frames_in = (rng.rand(total, 512, 512, 3) * 255).astype(np.uint8)
+            t0 = time.time()
+            summary = vid2vid(
+                config=cfg, pipeline=pipeline,
+                frame_source=ArrayFrameSource(frames_in), frame_sink=ArrayFrameSink(),
+            )
+            log(f"F={F} cold: {summary['frames_written']} frames/"
+                f"{summary['windows']} win in {time.time()-t0:.1f}s")
+            sink = ArrayFrameSink()
+            t0 = time.time()
+            summary = vid2vid(
+                config=cfg, pipeline=pipeline,
+                frame_source=ArrayFrameSource(frames_in), frame_sink=sink,
+            )
+            wall = time.time() - t0
+            log(f"F={F} warm: {summary['frames_written']} frames in {wall:.1f}s"
+                f" -> {summary['frames_written']/wall:.2f} emitted fps"
+                f" ({novel} novel/window steady state); timers: {summary['timers']}")
+
+
 def bench_ablate():
     """UNet component ablations: where do the 600ms go?"""
     from controlanimate_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
@@ -835,6 +893,10 @@ if __name__ == "__main__":
         bench_euler()
     if "e2e" in which:
         bench_e2e_loop()
+    if "bigwin" in which or "bigwin24" in which:
+        bench_bigwin()
+    if "programs24" in which:
+        bench_programs(24)
     if "attnxl" in which:
         bench_attn_xl()
     if "vae2" in which:

@@ -165,3 +165,56 @@ def test_lcm_controlnet_sharded_equals_single_device(stacks, eight_devices):
     np.testing.assert_allclose(
         np.asarray(sharded), np.asarray(single), atol=2e-4, rtol=1e-3
     )
+
+
+def test_ip_adapter_sharded_equals_single_device(stacks, eight_devices):
+    """IP-Adapter (Plus, 16 image tokens) + ControlNet window on a 1x8
+    context mesh == single device — the third conditioning family
+    (VERDICT r2 #8): dual-stream attn2 consumes the trailing image tokens,
+    the ControlNet context must have them stripped."""
+    ip_cfg = UNet3DConfig(**{**UCFG.__dict__, "ip_tokens": 16})
+    ip_unet = UNet3DConditionModel(ip_cfg)
+    key = jax.random.PRNGKey(0)
+    ctx_init = jnp.zeros((1, 7 + 16, 16))
+    ip_params = ip_unet.init(
+        key, jnp.zeros((1, 2, 8, 8, 4)), jnp.asarray([1]), ctx_init
+    )["params"]
+
+    def eng_ip():
+        return AnimationEngine(
+            EngineModels(
+                unet=ip_unet, unet_params=ip_params,
+                vae=stacks["vae"], vae_params=stacks["vae_params"],
+                controlnets=[stacks["cn"]], controlnet_params=[stacks["cn_params"]],
+                cond_scales=[0.8],
+            ),
+            make_schedule(),
+        )
+
+    st = WindowStatic(
+        scheduler_name="EulerDiscreteScheduler", steps=2, guidance_scale=7.5,
+        strength=0.9, ip_tokens=16, ipa_scale=0.6,
+    )
+    frames = jax.random.uniform(jax.random.PRNGKey(1), (1, 8, 32, 32, 3)) * 2 - 1
+    cond = jax.random.uniform(jax.random.PRNGKey(2), (1, 8, 32, 32, 3))
+    # CFG pair, each with 16 trailing image tokens on the sequence axis
+    text = jnp.concatenate(
+        [jnp.zeros((1, 23, 16)), jax.random.normal(jax.random.PRNGKey(3), (1, 23, 16))]
+    )
+
+    single = eng_ip().generate_window(
+        st, text, jax.random.PRNGKey(0), cond_images=[cond], input_frames=frames
+    )
+
+    mesh = make_mesh((1, 8), ("data", "context"), eight_devices)
+    eng = _shard_engine(eng_ip(), mesh)
+    sharded = eng.generate_window(
+        st,
+        jax.device_put(text, NamedSharding(mesh, P("data"))),
+        jax.random.PRNGKey(0),
+        cond_images=[jax.device_put(cond, shard_video(mesh))],
+        input_frames=jax.device_put(frames, shard_video(mesh)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(single), atol=2e-4, rtol=1e-3
+    )
