@@ -19,6 +19,7 @@ level-0 where the einsum form lowers to 65k tiny GEMMs).
 from __future__ import annotations
 
 import math
+import os
 from typing import Sequence
 
 import jax
@@ -124,7 +125,11 @@ class TemporalEinsumAttention(nn.Module):
         q = _dense(h, wq, None, dt).reshape(B, F, N, H, D)
         k = _dense(h, wk, None, dt).reshape(B, F, N, H, D)
         v = _dense(h, wv, None, dt).reshape(B, F, N, H, D)
-        if N * D >= 4096 * 40:
+        form = os.environ.get("CONTROLANIMATE_MOTION_FORM", "auto")
+        use_mulreduce = (
+            N * D >= 4096 * 40 if form == "auto" else form == "mulreduce"
+        )
+        if use_mulreduce:
             # level-0 geometry: broadcast-mul + d-reduce stays on the VPU and
             # avoids the batched tiny (FxD)@(DxF) GEMMs — measured ~12%
             # faster than the einsum form at (.,16,4096,8x40) on v5e; the

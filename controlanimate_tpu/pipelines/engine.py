@@ -89,6 +89,9 @@ class WindowStatic:
     width: int = 512
     # quantize decoded frames to uint8 on device (4x smaller readback)
     output_uint8: bool = False
+    # decode this many frames at a time (0 = whole window at once); bounds
+    # VAE-decoder peak HBM so 32-frame windows fit a 16GB chip
+    decode_chunk: int = 0
 
     @property
     def do_cfg(self) -> bool:
@@ -140,18 +143,35 @@ class AnimationEngine:
         return z.reshape(B, F, *z.shape[1:])
 
     def _decode_latents(
-        self, vae_params, latents: jnp.ndarray, to_uint8: bool = False
+        self, vae_params, latents: jnp.ndarray, to_uint8: bool = False,
+        chunk: int = 0,
     ) -> jnp.ndarray:
         """(B, F, h, w, 4) -> (B, F, H, W, 3) in [0,1] (or uint8 [0,255] when
         to_uint8 — quantization on device keeps the device->host readback at
         1/4 the bytes) (reference decode_latents :501-514, without the frame
-        loop)."""
+        loop).
+
+        chunk > 0 decodes `chunk` frames at a time via lax.map (one compiled
+        body, sequential execution) — bounds decoder peak activations so
+        32-frame windows fit v5e HBM; frames are independent, so numerics
+        are unchanged."""
         B, F = latents.shape[:2]
         flat = latents.reshape(B * F, *latents.shape[2:])
-        img = self.m.vae.apply({"params": vae_params}, flat, method=AutoencoderKL.decode)
-        img = (img / 2 + 0.5).clip(0.0, 1.0)
-        if to_uint8:
-            img = (img.astype(jnp.float32) * 255.0 + 0.5).astype(jnp.uint8)
+
+        def dec(z):
+            img = self.m.vae.apply({"params": vae_params}, z, method=AutoencoderKL.decode)
+            img = (img / 2 + 0.5).clip(0.0, 1.0)
+            if to_uint8:
+                img = (img.astype(jnp.float32) * 255.0 + 0.5).astype(jnp.uint8)
+            return img
+
+        n = B * F
+        if chunk and n > chunk and n % chunk == 0:
+            groups = flat.reshape(n // chunk, chunk, *flat.shape[1:])
+            img = jax.lax.map(dec, groups)
+            img = img.reshape(n, *img.shape[2:])
+        else:
+            img = dec(flat)
         return img.reshape(B, F, *img.shape[1:])
 
     # -- latent preparation --------------------------------------------------
@@ -233,11 +253,11 @@ class AnimationEngine:
         self._window_cache[key_] = fn
         return fn
 
-    def _make_decode_fn(self, to_uint8: bool = False) -> Callable:
-        key_ = ("decode", to_uint8)
+    def _make_decode_fn(self, to_uint8: bool = False, chunk: int = 0) -> Callable:
+        key_ = ("decode", to_uint8, chunk)
         if key_ in self._window_cache:
             return self._window_cache[key_]
-        fn = jax.jit(lambda vp, lat: self._decode_latents(vp, lat, to_uint8))
+        fn = jax.jit(lambda vp, lat: self._decode_latents(vp, lat, to_uint8, chunk))
         self._window_cache[key_] = fn
         return fn
 
@@ -382,7 +402,7 @@ class AnimationEngine:
             )
         prepare = self._make_prepare_fn(st, sched)
         denoise = self._make_denoise_fn(st, sched)
-        decode = self._make_decode_fn(st.output_uint8)
+        decode = self._make_decode_fn(st.output_uint8, st.decode_chunk)
 
         def run(unet_params, cn_params, text_embeds, cond_images,
                 input_frames, last_output_frames, key):

@@ -358,6 +358,13 @@ class ControlAnimatePipeline:
 
         pos, neg = self._encode_prompts(cfg.prompt, cfg.n_prompt, cfg.clip_skip)
 
+        if input_frames is None:
+            window_frames = frame_count or cfg.frame_count
+        elif getattr(input_frames, "ndim", 0) == 5:
+            window_frames = input_frames.shape[1]
+        else:
+            window_frames = len(input_frames)
+
         # IP-Adapter image tokens appended on the sequence axis
         # (reference: controlanimation_pipeline.py:698-710)
         ipa_scale = cfg.ipa_scale
@@ -387,6 +394,11 @@ class ControlAnimatePipeline:
             height=cfg.height,
             width=cfg.width,
             output_uint8=True,
+            # 32-frame windows overflow v5e HBM in the whole-window decoder;
+            # chunked decode (frames are independent) bounds the peak
+            decode_chunk=16 if (
+                window_frames >= 32 and cfg.height * cfg.width >= 512 * 512
+            ) else 0,
         )
 
         do_cfg = st.do_cfg

@@ -823,6 +823,91 @@ def bench_bigwin():
                 f" ({novel} novel/window steady state); timers: {summary['timers']}")
 
 
+def bench_f24opt():
+    """F=24/32 window optimization study:
+    (a) motion-attention formulation shootout at F=24 per UNet level;
+    (b) denoise F=24 with Pallas flash spatial attention vs XLA fused
+        (XLA materializes the (BF, H, N, N) logits — 6.4GB at F=24);
+    (c) F=32 feasibility with flash attention (F=32 OOMed with XLA)."""
+    import numpy as np
+
+    import bench
+    from controlanimate_tpu.ops import attention as attn_mod
+    from controlanimate_tpu.pipelines.engine import WindowStatic
+
+    REPS = 8
+    import sys as _sys
+    micro_shapes = (
+        [(4096, 320, 8), (1024, 640, 8), (256, 1280, 8)]
+        if "f24micro" in _sys.argv else []
+    )
+    # (a) motion formulations at F=24, levels 0-2 geometry (B=1 LCM)
+    for (N, C, H) in micro_shapes:
+        F = 24
+        D = C // H
+        ks = jax.random.split(jax.random.PRNGKey(0), 4)
+        x = jax.random.normal(ks[0], (1, F, N, H, D), jnp.bfloat16)
+        log(f"--- motion F={F} N={N} C={C}")
+
+        def loop(fn):
+            def run(x):
+                def body(c, _):
+                    return fn(c).astype(c.dtype), None
+                out, _ = jax.lax.scan(body, x, None, length=REPS)
+                return out
+            return jax.jit(run)
+
+        def einsum_form(q):
+            logits = jnp.einsum("bfnhd,bgnhd->bnhfg", q, q) * (D**-0.5)
+            p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+            return jnp.einsum("bnhfg,bgnhd->bfnhd", p, q)
+
+        def mulreduce_form(q):
+            logits = (
+                q[:, :, None].astype(jnp.float32) * q[:, None].astype(jnp.float32)
+            ).sum(-1) * (D**-0.5)  # (B, F, G, N, H)
+            p = jax.nn.softmax(logits, axis=2)
+            return (p[..., None] * q[:, None].astype(jnp.float32)).sum(2).astype(q.dtype)
+
+        t = timeit("  einsum x8", loop(einsum_form), x)
+        log(f"    => {t/REPS*1000:.2f} ms/call")
+        t = timeit("  mulreduce x8", loop(mulreduce_form), x)
+        log(f"    => {t/REPS*1000:.2f} ms/call")
+
+    # (b)/(c) denoise with flash vs XLA attention at F=24, then F=32 flash
+    for F, use_pallas in [(24, True), (32, True), (32, False)]:
+        cfg = bench.RunConfig(
+            width=512, height=512, frame_count=F, overlap_length=8,
+            use_lcm=True, steps=4, guidance_scale=7.5, strength=0.9,
+            lcm_origin_steps=50, prompt="a cat", n_prompt="", seed=7,
+            dtype="bfloat16",
+        )
+        attn_mod.set_pallas_enabled(use_pallas)
+        try:
+            pipeline = bench.build_pipeline(cfg)
+            eng = pipeline.engine
+            st = WindowStatic(
+                steps=4, use_lcm=True, guidance_scale=7.5, strength=0.9,
+                lcm_origin_steps=50, frame_count=F, height=512, width=512,
+                output_uint8=True,
+            )
+            sched = eng.build_scheduler(st)
+            denoise = eng._make_denoise_fn(st, sched)
+            decode = eng._make_decode_fn(True)
+            key = jax.random.PRNGKey(0)
+            text = jax.random.normal(key, (1, 77, 768), jnp.bfloat16)
+            lat = jax.random.normal(key, (1, F, 64, 64, 4), jnp.float32)
+            timeit(f"denoise F={F} pallas={use_pallas}", denoise,
+                   eng.m.unet_params, (), text, (), lat, key, iters=3)
+            lat2 = denoise(eng.m.unet_params, (), text, (), lat, key)
+            timeit(f"decode F={F} pallas={use_pallas}", decode,
+                   eng.m.vae_params, lat2, iters=3)
+        except Exception as e:
+            log(f"F={F} pallas={use_pallas} FAILED: {type(e).__name__}: {str(e)[:200]}")
+        finally:
+            attn_mod.set_pallas_enabled(False)
+
+
 def bench_ablate():
     """UNet component ablations: where do the 600ms go?"""
     from controlanimate_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
@@ -897,6 +982,8 @@ if __name__ == "__main__":
         bench_bigwin()
     if "programs24" in which:
         bench_programs(24)
+    if "f24opt" in which:
+        bench_f24opt()
     if "attnxl" in which:
         bench_attn_xl()
     if "vae2" in which:

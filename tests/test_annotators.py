@@ -429,6 +429,7 @@ def test_face_net_forward_and_regions(tmp_path):
     assert len(regions) == 1 and regions[0][2] > 20
 
 
+@pytest.mark.slow
 def test_dpt_hybrid_matches_transformers():
     """Flax DPT-hybrid (BiT backbone + hybrid neck) vs transformers
     DPTForDepthEstimation(is_hybrid=True) with identical tiny weights."""
@@ -475,6 +476,7 @@ def test_dpt_hybrid_matches_transformers():
     np.testing.assert_allclose(fout, tout, atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_glpn_matches_transformers():
     """Flax GLPN (SegFormer encoder + selective-fusion decoder) vs
     transformers GLPNForDepthEstimation with identical tiny weights."""
@@ -515,6 +517,7 @@ def test_glpn_matches_transformers():
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_dpt_depth_matches_transformers():
     """Flax DPT port vs transformers DPTForDepthEstimation with identical
     (random, tiny, bias-shifted) weights."""

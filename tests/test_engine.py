@@ -227,6 +227,7 @@ def test_controlnet_context_is_text_only_under_ip(engine):
     assert spy.ctx_lens and all(n == 7 for n in spy.ctx_lens), spy.ctx_lens
 
 
+@pytest.mark.slow
 def test_ip_scale_zero_equals_text_only_path(engine):
     """With ipa_scale=0 the IP+ControlNet window must equal the text-only
     window bit-for-bit: the UNet's dual-stream branch contributes zero and
@@ -275,6 +276,7 @@ def test_ip_scale_zero_equals_text_only_path(engine):
     np.testing.assert_allclose(np.asarray(out_ip), np.asarray(out_base), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_plus_variant_window_num_tokens_16(engine):
     """IP-Adapter-Plus geometry (16 image tokens) through a full window with
     a ControlNet: UNet consumes 7+16 tokens, ControlNet must still see 7
@@ -537,3 +539,14 @@ def test_window_golden_lcm_vs_torch():
     out_t = _t_decode(tvae, lat.astype(np.float32))
     err = np.abs(out_j - out_t).max()
     assert err < 2e-3, err
+
+
+def test_chunked_decode_matches_whole_window(engine):
+    """decode_chunk bounds VAE peak HBM via lax.map; frames are independent
+    so outputs must be identical."""
+    lat = jax.random.normal(jax.random.PRNGKey(5), (1, 4, 4, 4, 4)) * 0.2
+    whole = engine._decode_latents(engine.m.vae_params, lat, to_uint8=True)
+    chunked = engine._decode_latents(engine.m.vae_params, lat, to_uint8=True, chunk=2)
+    # batch-size-dependent reduction order can flip the uint8 rounding by 1
+    diff = np.abs(np.asarray(whole).astype(int) - np.asarray(chunked).astype(int))
+    assert diff.max() <= 1, diff.max()

@@ -187,6 +187,7 @@ def _run_cfg(snapshot, **kw):
     return RunConfig(**defaults)
 
 
+@pytest.mark.slow
 def test_build_from_disk_and_animate(snapshot):
     from controlanimate_tpu.pipelines.facade import ControlAnimatePipeline
 
@@ -280,6 +281,7 @@ def _ip_plus_files(root: Path, rs, cross=D_CTX):
     return enc, root / "ip-adapter-plus_tiny.bin"
 
 
+@pytest.mark.slow
 def test_build_from_disk_with_ip_adapter_plus(snapshot):
     """use_ipadapter + a PLUS-layout checkpoint: the facade must detect the
     Resampler variant, build the UNet with ip_tokens == num_queries, inject

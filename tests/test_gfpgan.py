@@ -8,10 +8,13 @@ import numpy as np
 import pytest
 
 from controlanimate_tpu.models.gfpgan import (
+
     GFPGANv1Clean,
     _channels,
     gfpgan_params_from_torch,
 )
+
+pytestmark = pytest.mark.slow  # heavy torch golden build (use --runslow)
 
 OUT_SIZE = 64  # tiny pyramid: log2=6 -> 4 down/up levels
 

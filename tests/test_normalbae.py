@@ -15,10 +15,13 @@ import torch.nn as tn
 import torch.nn.functional as F
 
 from controlanimate_tpu.models.annotators.normalbae_net import (
+
     EffNetConfig,
     NormalBaeNNET,
     nnet_params_from_torch,
 )
+
+pytestmark = pytest.mark.slow  # heavy torch golden build (use --runslow)
 
 TINY = EffNetConfig(
     stem=8, widths=(8, 8, 16, 16, 16, 24, 24), repeats=(1, 1, 1, 1, 1, 1, 1),

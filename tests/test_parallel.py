@@ -78,6 +78,7 @@ def _shard_engine(eng, mesh):
     return eng
 
 
+@pytest.mark.slow
 def test_euler_cfg_sharded_equals_single_device(stacks, eight_devices):
     """Euler + CFG window: 2x4 data x context mesh output == single device."""
     st = WindowStatic(
@@ -104,6 +105,7 @@ def test_euler_cfg_sharded_equals_single_device(stacks, eight_devices):
     )
 
 
+@pytest.mark.slow
 def test_tensor_parallel_equals_single_device(stacks, eight_devices):
     """Model-axis (tensor-parallel) sharding of the UNet/VAE kernels on a
     1x1x8 data x context x model mesh must reproduce single-device output

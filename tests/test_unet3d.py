@@ -285,3 +285,17 @@ def test_golden_controlnet_residual_add_vs_torch():
         )
     out_t = out_t.permute(0, 2, 3, 4, 1).numpy()
     assert np.abs(np.asarray(out_j) - out_t).max() < 1e-4
+
+
+def test_motion_form_override_matches(monkeypatch):
+    """CONTROLANIMATE_MOTION_FORM forces a formulation; both must agree."""
+    from controlanimate_tpu.models.motion_module import TemporalEinsumAttention
+
+    attn = TemporalEinsumAttention(heads=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 8, 16), jnp.float32) * 0.3
+    params = attn.init(jax.random.PRNGKey(1), x)["params"]
+    monkeypatch.setenv("CONTROLANIMATE_MOTION_FORM", "einsum")
+    a = attn.apply({"params": params}, x)
+    monkeypatch.setenv("CONTROLANIMATE_MOTION_FORM", "mulreduce")
+    b = attn.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)

@@ -69,6 +69,17 @@ def tiny_pipeline(cfg: RunConfig, with_controlnet=False, ip_adapter=None) -> Con
     return ControlAnimatePipeline(cfg, models=models, text_stack=text, ip_adapter=ip_adapter)
 
 
+import pytest
+
+
+@pytest.fixture(scope="module")
+def base_pipe():
+    """One shared tiny pipeline: the facade caches jitted window programs
+    per WindowStatic, so tests with the same geometry skip CPU recompiles
+    (the suite runs on a single core — compiles dominate wall time)."""
+    return tiny_pipeline(base_cfg())
+
+
 def base_cfg(**kw) -> RunConfig:
     defaults = dict(
         width=64, height=64, frame_count=4, overlap_length=2,
@@ -81,9 +92,9 @@ def base_cfg(**kw) -> RunConfig:
     return RunConfig(**defaults)
 
 
-def test_vid2vid_loop_writes_all_frames():
+def test_vid2vid_loop_writes_all_frames(base_pipe):
     cfg = base_cfg()
-    pipe = tiny_pipeline(cfg)
+    pipe = base_pipe
     frames_in = (np.random.RandomState(0).rand(10, 64, 64, 3) * 255).astype(np.uint8)
     sink = ArrayFrameSink()
     summary = vid2vid(
@@ -110,29 +121,30 @@ def test_vid2vid_with_controlnet_canny():
     assert summary["frames_written"] == 4
 
 
-def test_txt2vid_no_input():
+def test_txt2vid_no_input(base_pipe):
     cfg = base_cfg(overlap_length=0)
-    pipe = tiny_pipeline(cfg)
+    pipe = base_pipe
     sink = ArrayFrameSink()
     summary = vid2vid(config=cfg, pipeline=pipe, frame_sink=sink, max_windows=1)
     assert summary["frames_written"] == 4
 
 
-def test_txt2vid_total_frames():
+@pytest.mark.slow
+def test_txt2vid_total_frames(base_pipe):
     """txt2vid generates overlap-stitched windows until total_frames
     (reference: vid2vid.py:50-52,168 — ADVICE r1: the loop used to stop
     after exactly one window)."""
     cfg = base_cfg(total_frames=10, frame_count=4, overlap_length=2)
-    pipe = tiny_pipeline(cfg)
+    pipe = base_pipe
     sink = ArrayFrameSink()
     summary = vid2vid(config=cfg, pipeline=pipe, frame_sink=sink)
     assert summary["frames_written"] == 10
     assert summary["windows"] == 4  # 2 new frames/window after the first
 
 
-def test_deterministic_given_seed():
+def test_deterministic_given_seed(base_pipe):
     cfg = base_cfg()
-    pipe = tiny_pipeline(cfg)
+    pipe = base_pipe
     frames_in = (np.random.RandomState(2).rand(4, 64, 64, 3) * 255).astype(np.uint8)
     s1, s2 = ArrayFrameSink(), ArrayFrameSink()
     vid2vid(config=cfg, pipeline=pipe, frame_source=ArrayFrameSource(frames_in), frame_sink=s1)
@@ -141,11 +153,11 @@ def test_deterministic_given_seed():
         np.testing.assert_array_equal(a, b)
 
 
-def test_resume_mid_video(tmp_path):
+def test_resume_mid_video(base_pipe, tmp_path):
     """Epoch-granular resume (new capability vs reference, SURVEY §5.3/§5.4):
     interrupt after 2 windows, resume, and finish the stream."""
     cfg = base_cfg(output_video_dir=str(tmp_path), resume=False)
-    pipe = tiny_pipeline(cfg)
+    pipe = base_pipe
     frames_in = (np.random.RandomState(3).rand(10, 64, 64, 3) * 255).astype(np.uint8)
 
     s1 = ArrayFrameSink()
@@ -169,6 +181,7 @@ def test_resume_mid_video(tmp_path):
     assert partial["frames_written"] + len(s2.frames) >= 10
 
 
+@pytest.mark.slow
 def test_ipadapter_initial_generation_loop():
     """IP-Adapter path end to end: zeros tokens on the first window, anchor
     embeds afterwards, plus the initial double-generation pass
@@ -209,6 +222,7 @@ def test_ipadapter_initial_generation_loop():
     assert summary["frames_written"] == 6
 
 
+@pytest.mark.slow
 def test_sharded_pipeline_on_virtual_mesh(eight_devices):
     """Config-driven mesh: the same vid2vid loop over a 1x8 data x context
     mesh on virtual CPU devices (SURVEY §5.8 sharding plan)."""
@@ -242,6 +256,7 @@ def test_save_frames_and_info(tmp_path):
     assert len(list((tmp_path / "vid2vid_input_frames").glob("*.png"))) >= 2
 
 
+@pytest.mark.slow
 def test_controlnet_condition_map_dumps(tmp_path):
     """Per-epoch condition-map dumps under controlnet_outputs_<ts>/<net>/
     (reference: controlresiduals_pipeline.py:239,249-259)."""
