@@ -133,12 +133,15 @@ class TemporalEinsumAttention(nn.Module):
             # level-0 geometry: broadcast-mul + d-reduce stays on the VPU and
             # avoids the batched tiny (FxD)@(DxF) GEMMs — measured ~12%
             # faster than the einsum form at (.,16,4096,8x40) on v5e; the
-            # einsum form stays faster at the narrower deep levels
-            logits = (
-                q[:, :, None].astype(jnp.float32) * k[:, None].astype(jnp.float32)
-            ).sum(-1) * (D**-0.5)  # (B, F, G, N, H)
-            probs = jax.nn.softmax(logits, axis=2)
-            out = (probs[..., None] * v[:, None].astype(jnp.float32)).sum(2)
+            # einsum form stays faster at the narrower deep levels.
+            # Multiplies run in the input dtype (bf16 VPU rate), the D- and
+            # F-reductions accumulate in f32 — same policy as the einsum
+            # form's bf16 dot with f32 softmax
+            logits = (q[:, :, None] * k[:, None]).sum(-1, dtype=jnp.float32) * (
+                D**-0.5
+            )  # (B, F, G, N, H)
+            probs = jax.nn.softmax(logits, axis=2).astype(q.dtype)
+            out = (probs[..., None] * v[:, None]).sum(2, dtype=jnp.float32)
             out = out.astype(q.dtype).reshape(B, F, N, C)
         else:
             logits = jnp.einsum("bfnhd,bgnhd->bnhfg", q, k) * (D**-0.5)

@@ -96,6 +96,12 @@ def dot_product_attention(
     eligible = mask is None and seq_q == seq_k and _on_tpu() and _single_device()
     forced = _PALLAS_ENABLED and seq_q >= _PALLAS_MIN_SEQ
     auto = head_dim >= _PALLAS_AUTO_MIN_HEAD_DIM and seq_q >= _PALLAS_AUTO_MIN_SEQ
+    # HBM-pressure rule: XLA's fused attention materializes the
+    # (B, H, N, N) logits; past ~8GB (32-frame 512px windows) that OOMs a
+    # 16GB v5e, while the flash kernel runs at the same speed (measured
+    # wash at F=24) with O(N) memory
+    logits_bytes = q.shape[0] * q.shape[2] * seq_q * seq_k * 2
+    auto = auto or logits_bytes >= 8 * 1024**3
     if eligible and (forced or auto):
         try:
             from .flash_attention import flash_attention

@@ -67,10 +67,22 @@ def _ln(h, scale, bias, eps=1e-5):
     return (h * a + b) * scale + bias
 
 
+def _erf_poly(z):
+    """Abramowitz-Stegun 7.1.26 rational erf approximation (|err| <= 1.5e-7)
+    — Mosaic has no erf lowering, and 1.5e-7 is far below bf16 resolution."""
+    s = jnp.sign(z)
+    a = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
 def _gelu_f32(x):
-    """Exact-erf GELU with f32 math (diffusers GEGLU uses F.gelu exact)."""
+    """Erf GELU with f32 math (diffusers GEGLU uses F.gelu exact; the
+    polynomial erf differs by <=1.5e-7, below bf16 resolution)."""
     x32 = x.astype(jnp.float32)
-    return (0.5 * x32 * (1.0 + jax.lax.erf(x32 / math.sqrt(2.0)))).astype(x.dtype)
+    return (0.5 * x32 * (1.0 + _erf_poly(x32 / math.sqrt(2.0)))).astype(x.dtype)
 
 
 def _dot(a, b):

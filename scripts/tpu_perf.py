@@ -780,7 +780,12 @@ def bench_bigwin():
 
     import sys as _sys
 
-    counts = (24,) if "bigwin24" in _sys.argv else (16, 24)
+    if "bigwin32" in _sys.argv:
+        counts = (32,)
+    elif "bigwin24" in _sys.argv:
+        counts = (24,)
+    else:
+        counts = (16, 24)
     pipeline = None
     for F in counts:
         with tempfile.TemporaryDirectory() as td:
@@ -908,6 +913,64 @@ def bench_f24opt():
             attn_mod.set_pallas_enabled(False)
 
 
+def bench_f24v2():
+    """Second round of F=24/32 window optimization:
+    motion-kernel + einsum-form denoise variants at F=24, then the full
+    F=32 program set with chunked decode + auto flash attention."""
+    import os
+
+    import numpy as np
+
+    import bench
+    from controlanimate_tpu.ops.motion_kernel import set_motion_kernel_enabled
+    from controlanimate_tpu.pipelines.engine import WindowStatic
+
+    def build(F, label, motion_kernel=False, motion_form="auto", chunk=0):
+        os.environ["CONTROLANIMATE_MOTION_FORM"] = motion_form
+        set_motion_kernel_enabled(motion_kernel)
+        cfg = bench.RunConfig(
+            width=512, height=512, frame_count=F, overlap_length=8,
+            use_lcm=True, steps=4, guidance_scale=7.5, strength=0.9,
+            lcm_origin_steps=50, prompt="a cat", n_prompt="", seed=7,
+            dtype="bfloat16",
+        )
+        pipeline = bench.build_pipeline(cfg)
+        eng = pipeline.engine
+        st = WindowStatic(
+            steps=4, use_lcm=True, guidance_scale=7.5, strength=0.9,
+            lcm_origin_steps=50, frame_count=F, height=512, width=512,
+            output_uint8=True, decode_chunk=chunk,
+        )
+        sched = eng.build_scheduler(st)
+        key = jax.random.PRNGKey(0)
+        text = jax.random.normal(key, (1, 77, 768), jnp.bfloat16)
+        lat = jax.random.normal(key, (1, F, 64, 64, 4), jnp.float32)
+        try:
+            denoise = eng._make_denoise_fn(st, sched)
+            timeit(f"denoise F={F} [{label}]", denoise,
+                   eng.m.unet_params, (), text, (), lat, key, iters=3)
+            if chunk or F >= 32:
+                prepare = eng._make_prepare_fn(st, sched)
+                frames = jnp.asarray(
+                    (np.random.RandomState(0).rand(1, F, 512, 512, 3) * 255).astype("uint8"))
+                timeit(f"prepare F={F} [{label}]", prepare,
+                       eng.m.vae_params, frames, None, (1, F, 64, 64, 4), key, iters=3)
+                decode = eng._make_decode_fn(True, chunk)
+                lat2 = denoise(eng.m.unet_params, (), text, (), lat, key)
+                timeit(f"decode F={F} chunk={chunk} [{label}]", decode,
+                       eng.m.vae_params, lat2, iters=3)
+        except Exception as e:
+            log(f"F={F} [{label}] FAILED: {type(e).__name__}: {str(e)[:200]}")
+        finally:
+            set_motion_kernel_enabled(False)
+            os.environ["CONTROLANIMATE_MOTION_FORM"] = "auto"
+
+    build(24, "baseline")
+    build(24, "einsum", motion_form="einsum")
+    build(24, "motion-kernel", motion_kernel=True)
+    build(32, "flash+chunk16", chunk=16)
+
+
 def bench_ablate():
     """UNet component ablations: where do the 600ms go?"""
     from controlanimate_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
@@ -978,12 +1041,14 @@ if __name__ == "__main__":
         bench_euler()
     if "e2e" in which:
         bench_e2e_loop()
-    if "bigwin" in which or "bigwin24" in which:
+    if which & {"bigwin", "bigwin24", "bigwin32"}:
         bench_bigwin()
     if "programs24" in which:
         bench_programs(24)
     if "f24opt" in which:
         bench_f24opt()
+    if "f24v2" in which:
+        bench_f24v2()
     if "attnxl" in which:
         bench_attn_xl()
     if "vae2" in which:
