@@ -134,7 +134,7 @@ def measure_euler(pipeline, frames=16, size=512, steps=30) -> float:
     return frames / t
 
 
-def measure_overlap8(pipeline, frames=24, size=512, windows=5) -> float:
+def measure_overlap8(pipeline, frames=24, size=512, windows=8) -> float:
     """The shipped-profile configuration through the FULL orchestrator
     (scripts/vid2vid.py: prefetch thread, fused stitch, deferred emit),
     in-memory IO, counting only frames emitted to the sink. With overlap 8 a

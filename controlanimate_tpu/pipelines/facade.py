@@ -292,6 +292,20 @@ class ControlAnimatePipeline:
         if key not in self._prompt_cache:
             pos = self.text.encode(prompt, clip_skip)
             neg = self.text.encode(n_prompt, clip_skip)
+            # a `.and()` conjunction makes one side longer than the other;
+            # CFG stacks [neg, pos] on the batch axis, so pad the shorter
+            # side by repeating its final token embedding (Compel's
+            # pad-to-same-length behavior)
+            if pos.shape[1] != neg.shape[1]:
+                L = max(pos.shape[1], neg.shape[1])
+
+                def pad(e):
+                    if e.shape[1] == L:
+                        return e
+                    tail = jnp.repeat(e[:, -1:], L - e.shape[1], axis=1)
+                    return jnp.concatenate([e, tail], axis=1)
+
+                pos, neg = pad(pos), pad(neg)
             self._prompt_cache[key] = (pos, neg)
         return self._prompt_cache[key]
 

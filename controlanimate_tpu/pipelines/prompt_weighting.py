@@ -7,10 +7,14 @@ configs/prompts/SampleConfig.yaml). The parser accepts the Compel attention
 syntax: `word+`, `word++`, `word-`, `(multi word)+`, `(fragment)1.3`,
 nesting. Weights are 1.1^n for +/-, or the explicit float.
 
-Boundary: this is the ATTENTION-WEIGHTING subset of Compel — the subset the
-reference's shipped configs use. Compel's conjunction/blend operators
-(`.and()`, `.blend()`) are not implemented; such prompts pass through as
-literal text.
+Beyond the attention syntax the reference's shipped configs use, the
+Compel CONJUNCTION operators are supported at the top level:
+  ("prompt a", "prompt b").blend(0.6, 0.4) — weighted sum of the two
+      encoded prompts (weights normalized to 1);
+  ("prompt a", "prompt b").and()          — per-prompt embeddings
+      concatenated on the token axis (optionally weighted: .and(0.7, 0.3)).
+Sub-prompts may themselves use attention weighting. Mixed-length CFG pairs
+are padded by the caller (facade `_encode_prompts`).
 
 Embedding strategy: per-token weight scaling with mean-norm restoration
 (encode the full prompt once, scale each token's embedding by its weight,
@@ -96,6 +100,32 @@ def parse_weighted_prompt(prompt: str) -> list[Fragment]:
     return frags
 
 
+# top-level Compel conjunction: ("a", "b").and(...) / .blend(...)
+_CONJ_RE = re.compile(
+    r'^\s*\(\s*("[^"]*"(?:\s*,\s*"[^"]*")*)\s*\)\s*\.\s*(and|blend)\s*'
+    r"\(([^)]*)\)\s*$",
+    re.S,
+)
+
+
+def parse_conjunction(prompt: str):
+    """Return (op, [subprompts], [weights]) for a top-level conjunction, or
+    None when the prompt is a plain (attention-weighted) prompt."""
+    m = _CONJ_RE.match(prompt or "")
+    if not m:
+        return None
+    parts = re.findall(r'"([^"]*)"', m.group(1))
+    op = m.group(2)
+    args = [float(x) for x in m.group(3).split(",") if x.strip()]
+    if not args:
+        args = [1.0] * len(parts)
+    if len(args) != len(parts):
+        raise ValueError(
+            f"conjunction has {len(parts)} prompts but {len(args)} weights"
+        )
+    return op, parts, args
+
+
 def encode_weighted_prompt(
     tokenizer,
     encode_fn,
@@ -106,8 +136,26 @@ def encode_weighted_prompt(
 
     encode_fn: (ids (1, L) int32) -> (1, L, D) embeddings (the CLIP tower,
     including clip-skip handling).
-    Returns (1, L, D) weighted embeddings.
+    Returns (1, L, D) weighted embeddings (L = k*max_length for a k-way
+    `.and()` conjunction).
     """
+    conj = parse_conjunction(prompt)
+    if conj is not None:
+        op, parts, args = conj
+        embs = [
+            encode_weighted_prompt(tokenizer, encode_fn, p, max_length)
+            for p in parts
+        ]
+        if op == "blend":
+            w = np.asarray(args, np.float32)
+            w = w / max(float(w.sum()), 1e-8)
+            out = sum(float(wi) * e for wi, e in zip(w, embs))
+            return out
+        # .and(): weighted concatenation on the token axis
+        return jnp.concatenate(
+            [e * float(wi) for e, wi in zip(embs, args)], axis=1
+        )
+
     frags = parse_weighted_prompt(prompt)
     ids: list[int] = []
     weights: list[float] = []

@@ -240,3 +240,83 @@ def test_real_easynegative_ti_loads():
     ids = tok.tokenize_to_ids("easynegative")
     assert len(ids) == mat.shape[0]
     assert all(i >= len(tok.vocab) for i in ids)
+
+
+def test_prompt_conjunction_blend_and_and():
+    """Compel conjunction operators: ("a","b").blend(w...) is the normalized
+    weighted sum of the per-prompt encodings; .and() concatenates them on
+    the token axis (capability beyond the reference's shipped configs)."""
+    from controlanimate_tpu.models.tokenizer import CLIPTokenizer
+    from controlanimate_tpu.pipelines.prompt_weighting import (
+        encode_weighted_prompt,
+        parse_conjunction,
+    )
+
+    tok = CLIPTokenizer.tiny()
+    D = 8
+
+    def encode_fn(ids):
+        return jnp.asarray(
+            np.stack([np.outer(np.asarray(ids[0]) % 7, np.arange(1, D + 1))], 0),
+            jnp.float32,
+        )
+
+    assert parse_conjunction("plain (weighted)+ prompt") is None
+    op, parts, args = parse_conjunction('("a cat", "a dog").blend(0.6, 0.4)')
+    assert op == "blend" and parts == ["a cat", "a dog"] and args == [0.6, 0.4]
+
+    e_cat = encode_weighted_prompt(tok, encode_fn, "a cat")
+    e_dog = encode_weighted_prompt(tok, encode_fn, "a dog")
+    blend = encode_weighted_prompt(tok, encode_fn, '("a cat", "a dog").blend(0.6, 0.4)')
+    np.testing.assert_allclose(
+        np.asarray(blend), 0.6 * np.asarray(e_cat) + 0.4 * np.asarray(e_dog),
+        atol=1e-6,
+    )
+
+    both = encode_weighted_prompt(tok, encode_fn, '("a cat", "a dog").and()')
+    assert both.shape == (1, 154, D)
+    np.testing.assert_allclose(np.asarray(both[:, :77]), np.asarray(e_cat), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(both[:, 77:]), np.asarray(e_dog), atol=1e-6)
+
+    # sub-prompts keep attention weighting
+    wboth = encode_weighted_prompt(
+        tok, encode_fn, '("a (cat)++", "a dog").and(0.5, 1.0)'
+    )
+    assert not np.allclose(np.asarray(wboth[:, :77]), np.asarray(e_cat))
+    np.testing.assert_allclose(np.asarray(wboth[:, 77:]), np.asarray(e_dog), atol=1e-6)
+
+
+def test_facade_pads_conjunction_cfg_pair():
+    """A `.and()` positive with a plain negative must produce equal-length
+    CFG embeds (the facade pads by repeating the final token embedding)."""
+    import jax
+
+    from controlanimate_tpu.models.clip import CLIPTextConfig, CLIPTextModel
+    from controlanimate_tpu.models.tokenizer import CLIPTokenizer
+    from controlanimate_tpu.pipelines.facade import TextStack
+
+    tok = CLIPTokenizer.tiny()
+    tcfg = CLIPTextConfig(
+        vocab_size=len(tok.vocab), hidden_size=8, num_layers=1, num_heads=2,
+        intermediate_size=16, eos_token_id=tok.eos_token_id,
+    )
+    model = CLIPTextModel(tcfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32))["params"]
+    ts = TextStack(tok, model, params)
+
+    class FakeFacade:
+        text = ts
+        _prompt_cache = {}
+        _encode_prompts = None
+
+    from controlanimate_tpu.pipelines.facade import ControlAnimatePipeline
+
+    pos, neg = ControlAnimatePipeline._encode_prompts(
+        FakeFacade, '("a cat", "a dog").and()', "blurry"
+    )
+    assert pos.shape[1] == neg.shape[1] == 154
+    # the pad region repeats the final token embedding
+    np.testing.assert_allclose(
+        np.asarray(neg[:, 77:]), np.asarray(jnp.repeat(neg[:, 76:77], 77, axis=1)),
+        atol=1e-6,
+    )
