@@ -8,7 +8,12 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# the CI box has ONE core and the suite is XLA-compile-bound; O0 halves
+# compile time (engine file: 398s -> 172s) and every golden tolerance holds
+if "xla_backend_optimization_level" not in _flags:
+    _flags = (_flags + " --xla_backend_optimization_level=0").strip()
+os.environ["XLA_FLAGS"] = _flags
 
 import sys
 from pathlib import Path

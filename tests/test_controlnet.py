@@ -120,3 +120,55 @@ def test_mapping_covers_every_param():
     leaves = set(leaf_paths(params))
     assert not (leaves - mapped), f"unmapped: {sorted(leaves - mapped)[:8]}"
     assert not (mapped - leaves), f"phantom: {sorted(mapped - leaves)[:8]}"
+
+
+def test_controlnet_golden_vs_torch_oracle():
+    """ControlNet numerics vs an independent torch mirror (the last
+    product-path model without a golden oracle): cond embedding, down+mid
+    path, zero-conv heads, guess-mode logspace scaling, cond scale."""
+    import torch
+
+    from controlanimate_tpu.weights.controlnet_weights import controlnet_params_from_torch
+    from torch_mirrors import TorchControlNet, randomize_
+
+    cfg = UNet3DConfig(
+        block_out_channels=(8, 16), layers_per_block=1,
+        down_block_types=("CrossAttnDownBlock3D", "DownBlock3D"),
+        up_block_types=("UpBlock3D", "CrossAttnUpBlock3D"),
+        attention_heads=2, cross_attention_dim=16, norm_num_groups=4,
+        use_motion_module=False,
+    )
+    oracle = TorchControlNet(cfg)
+    randomize_(oracle, seed=9)
+    sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+    params = controlnet_params_from_torch(sd, cfg)
+
+    model = ControlNetModel(cfg)
+    rng = np.random.RandomState(3)
+    B, F = 1, 2
+    x = rng.randn(B, F, 8, 8, 4).astype(np.float32)
+    t = np.asarray([123], np.int64)
+    ctx = rng.randn(B, 7, 16).astype(np.float32) * 0.5
+    cond = rng.rand(B, F, 64, 64, 3).astype(np.float32)
+
+    for guess, scale in [(False, 1.0), (True, 0.7)]:
+        downs_j, mid_j = model.apply(
+            {"params": params}, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx),
+            jnp.asarray(cond), conditioning_scale=scale, guess_mode=guess,
+        )
+        with torch.no_grad():
+            downs_t, mid_t = oracle(
+                torch.tensor(x).permute(0, 4, 1, 2, 3), torch.tensor(t),
+                torch.tensor(ctx), torch.tensor(cond).permute(0, 4, 1, 2, 3),
+                conditioning_scale=scale, guess_mode=guess,
+            )
+        assert len(downs_j) == len(downs_t)
+        # random 0.25-scale weights blow activations up to ~1e3 through the
+        # unnormalized zero-conv heads: compare relative to the output scale
+        for dj, dt_ in zip(downs_j, downs_t):
+            ref = dt_.permute(0, 2, 3, 4, 1).numpy()
+            tol = 1e-4 * max(float(np.abs(ref).max()), 1.0)
+            assert np.abs(np.asarray(dj) - ref).max() < tol
+        ref = mid_t.permute(0, 2, 3, 4, 1).numpy()
+        tol = 1e-4 * max(float(np.abs(ref).max()), 1.0)
+        assert np.abs(np.asarray(mid_j) - ref).max() < tol

@@ -576,3 +576,116 @@ def randomize_(module: nn.Module, seed: int = 0, scale: float = 0.25) -> None:
     with torch.no_grad():
         for p in module.parameters():
             p.copy_(torch.randn(p.shape, generator=g) * scale)
+
+
+# --------------------------------------------------------------------------
+# ControlNet (diffusers SD1.5 layout; reference loads these models at
+# modules/controlresiduals_pipeline.py:30-38)
+# --------------------------------------------------------------------------
+
+
+class CondEmbeddingT(nn.Module):
+    def __init__(self, out_channels, block_out=(16, 32, 96, 256)):
+        super().__init__()
+        self.conv_in = InflatedConv3d(3, block_out[0], 3, padding=1)
+        blocks = []
+        for i in range(len(block_out) - 1):
+            blocks.append(InflatedConv3d(block_out[i], block_out[i], 3, padding=1))
+            blocks.append(InflatedConv3d(block_out[i], block_out[i + 1], 3, stride=2, padding=1))
+        self.blocks = nn.ModuleList(blocks)
+        self.conv_out = InflatedConv3d(block_out[-1], out_channels, 3, padding=1)
+
+    def forward(self, cond):
+        h = F.silu(self.conv_in(cond))
+        for b in self.blocks:
+            h = F.silu(b(h))
+        return self.conv_out(h)
+
+
+class TorchControlNet(nn.Module):
+    """ControlNet = UNet down+mid path + zero-conv heads, per-frame 2D
+    (inflated GN == 2D GN per frame)."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        self.cfg = cfg
+        c0 = cfg.block_out_channels[0]
+        temb_dim = c0 * 4
+        groups = cfg.norm_num_groups
+        self.conv_in = InflatedConv3d(cfg.in_channels, c0, 3, padding=1)
+        self.time_embedding = TimestepEmbeddingT(c0, temb_dim)
+        self.controlnet_cond_embedding = CondEmbeddingT(c0)
+
+        self.down_blocks = nn.ModuleList()
+        heads = []
+        ch = c0
+        heads.append(nn.Conv2d(c0, c0, 1))
+        n_down = len(cfg.down_block_types)
+        for i, bt in enumerate(cfg.down_block_types):
+            out_ch = cfg.block_out_channels[i]
+            blk = _Block()
+            blk.resnets = nn.ModuleList()
+            has_cross = bt.startswith("CrossAttn")
+            if has_cross:
+                blk.attentions = nn.ModuleList()
+            for _ in range(cfg.layers_per_block):
+                blk.resnets.append(ResnetBlock3DT(ch, out_ch, temb_dim, groups, True))
+                if has_cross:
+                    blk.attentions.append(
+                        Transformer3DModelT(out_ch, cfg.attention_heads, cfg.cross_attention_dim, groups)
+                    )
+                heads.append(nn.Conv2d(out_ch, out_ch, 1))
+                ch = out_ch
+            if i < n_down - 1:
+                ds = _Block()
+                ds.conv = InflatedConv3d(out_ch, out_ch, 3, stride=2, padding=1)
+                blk.downsamplers = nn.ModuleList([ds])
+                heads.append(nn.Conv2d(out_ch, out_ch, 1))
+            self.down_blocks.append(blk)
+        self.controlnet_down_blocks = nn.ModuleList(heads)
+
+        mid = _Block()
+        mid.resnets = nn.ModuleList(
+            [ResnetBlock3DT(ch, ch, temb_dim, groups, True) for _ in range(2)]
+        )
+        mid.attentions = nn.ModuleList(
+            [Transformer3DModelT(ch, cfg.attention_heads, cfg.cross_attention_dim, groups)]
+        )
+        self.mid_block = mid
+        self.controlnet_mid_block = nn.Conv2d(ch, ch, 1)
+
+    def _head(self, conv, x):
+        b, c, f, h, w = x.shape
+        y = conv(x.permute(0, 2, 1, 3, 4).reshape(b * f, c, h, w))
+        return y.reshape(b, f, *y.shape[1:]).permute(0, 2, 1, 3, 4)
+
+    def forward(self, sample, timesteps, context, cond, conditioning_scale=1.0,
+                guess_mode=False):
+        cfg = self.cfg
+        temb = self.time_embedding(timesteps_embed(timesteps, cfg.block_out_channels[0]))
+        sample = self.conv_in(sample) + self.controlnet_cond_embedding(cond)
+        residuals = [sample]
+        for blk in self.down_blocks:
+            attns = list(getattr(blk, "attentions", []))
+            for j, res in enumerate(blk.resnets):
+                sample = res(sample, temb)
+                if attns:
+                    sample = attns[j](sample, context)
+                residuals.append(sample)
+            for ds in getattr(blk, "downsamplers", []):
+                sample = ds.conv(sample)
+                residuals.append(sample)
+        sample = self.mid_block.resnets[0](sample, temb)
+        sample = self.mid_block.attentions[0](sample, context)
+        sample = self.mid_block.resnets[1](sample, temb)
+
+        outs = [self._head(conv, r) for conv, r in zip(self.controlnet_down_blocks, residuals)]
+        mid = self._head(self.controlnet_mid_block, sample)
+        if guess_mode:
+            import numpy as _np
+
+            scales = _np.logspace(-1, 0, len(outs) + 1)
+            outs = [o * float(s) for o, s in zip(outs, scales[:-1])]
+            mid = mid * float(scales[-1])
+        outs = [o * conditioning_scale for o in outs]
+        return outs, mid * conditioning_scale
