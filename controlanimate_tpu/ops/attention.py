@@ -42,6 +42,28 @@ def set_pallas_enabled(flag: bool) -> None:
     _PALLAS_ENABLED = bool(flag)
 
 
+# trace-time flash-forcing context: XLA's fused attention materializes the
+# (B·F, H, N, N) logits (8.6GB at 32 frames, 512px — OOMs a 16GB v5e); the
+# engine wraps window tracing in force_flash() when the window geometry
+# demands O(N)-memory attention. A context (not a shape rule) because the
+# same attention shape appears in Euler/CFG 16-frame windows, where the
+# whole window fits and XLA's form is the measured-faster choice.
+_FLASH_CTX = [False]
+
+
+class force_flash:
+    def __init__(self, flag: bool = True):
+        self.flag = bool(flag)
+
+    def __enter__(self):
+        self.prev = _FLASH_CTX[0]
+        _FLASH_CTX[0] = self.flag
+        return self
+
+    def __exit__(self, *exc):
+        _FLASH_CTX[0] = self.prev
+
+
 def _on_tpu() -> bool:
     try:
         # platform is "tpu" both for the native plugin and the axon tunnel
@@ -94,14 +116,10 @@ def dot_product_attention(
     seq_q, seq_k = q.shape[1], k.shape[1]
     head_dim = q.shape[-1]
     eligible = mask is None and seq_q == seq_k and _on_tpu() and _single_device()
-    forced = _PALLAS_ENABLED and seq_q >= _PALLAS_MIN_SEQ
+    forced = (
+        (_PALLAS_ENABLED or _FLASH_CTX[0]) and seq_q >= _PALLAS_MIN_SEQ
+    )
     auto = head_dim >= _PALLAS_AUTO_MIN_HEAD_DIM and seq_q >= _PALLAS_AUTO_MIN_SEQ
-    # HBM-pressure rule: XLA's fused attention materializes the
-    # (B, H, N, N) logits; past ~8GB (32-frame 512px windows) that OOMs a
-    # 16GB v5e, while the flash kernel runs at the same speed (measured
-    # wash at F=24) with O(N) memory
-    logits_bytes = q.shape[0] * q.shape[2] * seq_q * seq_k * 2
-    auto = auto or logits_bytes >= 8 * 1024**3
     if eligible and (forced or auto):
         try:
             from .flash_attention import flash_attention

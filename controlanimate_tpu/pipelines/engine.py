@@ -380,9 +380,23 @@ class AnimationEngine:
 
             # measured on v5e: unrolling the 4-step LCM loop is perf-neutral
             # (752 vs 748 ms) and costs compile time — keep the rolled scan
-            (latents, _), _ = jax.lax.scan(
-                body, (latents, state0), jnp.arange(sched.num_steps)
+            #
+            # 32-frame 512px windows need O(N)-memory attention: XLA's fused
+            # form materializes the (B·F, H, N, N) logits (8.6GB — OOMs a
+            # 16GB v5e). The force_flash context applies at trace time, so
+            # the Euler/CFG 16-frame window (same attention SHAPE after CFG
+            # duplication, but a window that fits) keeps XLA's
+            # measured-faster form.
+            from ..ops import attention as attn_mod
+
+            big_window = (
+                latents.shape[1] >= 32
+                and latents.shape[2] * latents.shape[3] >= 64 * 64
             )
+            with attn_mod.force_flash(big_window):
+                (latents, _), _ = jax.lax.scan(
+                    body, (latents, state0), jnp.arange(sched.num_steps)
+                )
             return latents
 
         jitted = jax.jit(run)

@@ -971,6 +971,43 @@ def bench_f24v2():
     build(32, "flash+chunk16", chunk=16)
 
 
+def bench_eulerab():
+    """Euler 30-step denoise: XLA fused attention (new default after the
+    force_flash context replaced the shape-based HBM rule) vs flash-forced
+    at level-0 — same session, both from one weight set."""
+    import bench
+    from controlanimate_tpu.ops import attention as attn_mod
+    from controlanimate_tpu.pipelines.engine import AnimationEngine, EngineModels, WindowStatic
+
+    cfg = bench.RunConfig(
+        width=512, height=512, frame_count=16, overlap_length=8,
+        scheduler="EulerDiscreteScheduler", steps=30, guidance_scale=7.5,
+        strength=1.0, prompt="a cat", n_prompt="", seed=7, dtype="bfloat16",
+    )
+    pipeline = bench.build_pipeline(cfg)
+    st = WindowStatic(
+        scheduler_name="EulerDiscreteScheduler", steps=30, guidance_scale=7.5,
+        strength=1.0, frame_count=16, height=512, width=512, output_uint8=True,
+    )
+    key = jax.random.PRNGKey(0)
+    text = jax.random.normal(key, (2, 77, 768), jnp.bfloat16)
+    lat = jax.random.normal(key, (1, 16, 64, 64, 4), jnp.float32)
+
+    eng = pipeline.engine
+    sched = eng.build_scheduler(st)
+    den = eng._make_denoise_fn(st, sched)
+    timeit("euler denoise [xla]", den, eng.m.unet_params, (), text, (), lat, key, iters=2)
+
+    eng2 = AnimationEngine(eng.m, eng.schedule)
+    den2 = eng2._make_denoise_fn(st, sched)
+
+    def flashed(*a):
+        with attn_mod.force_flash(True):
+            return den2(*a)
+
+    timeit("euler denoise [flash-l0]", flashed, eng.m.unet_params, (), text, (), lat, key, iters=2)
+
+
 def bench_ablate():
     """UNet component ablations: where do the 600ms go?"""
     from controlanimate_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
@@ -1049,6 +1086,8 @@ if __name__ == "__main__":
         bench_f24opt()
     if "f24v2" in which:
         bench_f24v2()
+    if "eulerab" in which:
+        bench_eulerab()
     if "attnxl" in which:
         bench_attn_xl()
     if "vae2" in which:
