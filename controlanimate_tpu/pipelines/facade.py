@@ -48,10 +48,24 @@ class TextStack:
     model: CLIPTextModel
     params: Any
 
+    def _jitted(self, clip_skip: int):
+        # one jitted program per clip_skip (params as an argument, not a
+        # closure — remote-compile request-size cap); eager per-op dispatch
+        # of the 12-layer tower costs hundreds of tunnel round trips
+        cache = self.__dict__.setdefault("_jit_cache", {})
+        if clip_skip not in cache:
+            cache[clip_skip] = jax.jit(
+                lambda p, ids: self.model.apply(
+                    {"params": p}, ids, clip_skip=clip_skip
+                )["encoder_hidden_states"]
+            )
+        return cache[clip_skip]
+
     def encode(self, prompt: str, clip_skip: int = 0) -> jnp.ndarray:
+        fn = self._jitted(clip_skip)
+
         def encode_fn(ids):
-            out = self.model.apply({"params": self.params}, ids, clip_skip=clip_skip)
-            return out["encoder_hidden_states"]
+            return fn(self.params, ids)
 
         return encode_weighted_prompt(self.tokenizer, encode_fn, prompt)
 

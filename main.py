@@ -28,7 +28,13 @@ def main() -> None:
     parser.add_argument("--config", type=str, required=True, help="path to a run yaml")
     parser.add_argument("--max-windows", type=int, default=None,
                         help="stop after N windows (debugging)")
+    parser.add_argument("--platform", type=str, default=None,
+                        help="force a jax platform (e.g. cpu); needed where a "
+                             "site hook pre-registers an accelerator platform "
+                             "and the JAX_PLATFORMS env var is ignored")
     args = parser.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     summary = vid2vid(args.config, max_windows=args.max_windows)
     print(summary)
 
