@@ -75,16 +75,10 @@ class ArchConfig:
     def __post_init__(self):
         # Refuse silently-ignored architecture variants: a v1-style yaml with
         # these enabled would otherwise load a DIFFERENT model with no
-        # warning. The reference itself hard-asserts the cross-frame branch
-        # off on its product path (animatediff/models/attention.py:194) and
-        # supports only the Vanilla motion module (motion_module.py:39-47).
-        if self.unet_use_cross_frame_attention:
-            raise NotImplementedError(
-                "unet_use_cross_frame_attention is not supported: the "
-                "sparse-causal attention branch is disabled in every shipped "
-                "reference config (inference-v{1,2}.yaml) and is not built "
-                "here. Remove the flag or use a supported inference config."
-            )
+        # warning. unet_use_cross_frame_attention is SUPPORTED (sparse-causal
+        # attn1, models/transformer.py) — note the reference cannot run it at
+        # all: its branch (animatediff/models/attention.py:195-196) names
+        # `SparseCausalAttention2D`, which is defined nowhere in the repo.
         if self.unet_use_temporal_attention:
             raise NotImplementedError(
                 "unet_use_temporal_attention is not supported: the extra "

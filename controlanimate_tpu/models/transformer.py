@@ -8,6 +8,17 @@ self-attn -> cross-attn(text [+ IP image tokens]) -> GEGLU feed-forward.
 The IP-Adapter dual-stream path is a construction-time flag on the cross
 attention (ip_tokens=4) instead of the reference's runtime processor swap
 (modules/ip_adapter.py:95-119).
+
+Sparse-causal cross-frame attention (`cross_frame=True`): attn1 queries the
+current frame but keys/values come from [frame 0, frame t-1] concatenated
+along the token axis — the Tune-A-Video / AnimateDiff-v1 lineage variant the
+reference *declares* but cannot run (its `unet_use_cross_frame_attention`
+branch at animatediff/models/attention.py:195-196 instantiates
+`SparseCausalAttention2D`, a name never defined anywhere in the repo — a
+NameError at construction). Built here for real: the K/V source is gathered
+BEFORE the k/v projections (linear per-token maps commute with the gather,
+so this is exactly the published post-projection form) which keeps the
+projection GEMMs dense and MXU-shaped.
 """
 
 from __future__ import annotations
@@ -19,22 +30,40 @@ from .layers import LayerNorm32, Attention, FeedForward, GroupNorm
 from .resnet3d import fold_frames, unfold_frames
 
 
+def sparse_causal_kv(h: jnp.ndarray, frames: int) -> jnp.ndarray:
+    """K/V token source for sparse-causal attention.
+
+    h: (B*F, N, C) folded per-frame tokens -> (B*F, 2N, C) where each frame's
+    key/value tokens are [frame 0 tokens, frame t-1 tokens] (frame 0 uses
+    itself twice — softmax over duplicated keys with duplicated values is
+    exactly plain self-attention, so frame 0 is unchanged).
+    """
+    BF, N, C = h.shape
+    B = BF // frames
+    h4 = h.reshape(B, frames, N, C)
+    first = jnp.broadcast_to(h4[:, :1], h4.shape)
+    former = jnp.concatenate([h4[:, :1], h4[:, :-1]], axis=1)
+    return jnp.concatenate([first, former], axis=2).reshape(BF, 2 * N, C)
+
+
 class BasicTransformerBlock(nn.Module):
     heads: int
     dim_head: int
     cross_attention_dim: int = 768
     ip_tokens: int = 0
     upcast_attention: bool = False
+    cross_frame: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context, ip_scale=1.0):
+    def __call__(self, x, context, ip_scale=1.0, frames=1):
         dim = x.shape[-1]
         h = LayerNorm32(name="norm1")(x)
+        kv = sparse_causal_kv(h, frames) if (self.cross_frame and frames > 1) else None
         x = x + Attention(
             dim, self.heads, self.dim_head, name="attn1",
             upcast_attention=self.upcast_attention, dtype=self.dtype,
-        )(h)
+        )(h, encoder_hidden_states=kv)
         h = LayerNorm32(name="norm2")(x)
         x = x + Attention(
             dim, self.heads, self.dim_head,
@@ -58,6 +87,7 @@ class SpatialTransformer(nn.Module):
     cross_attention_dim: int = 768
     ip_tokens: int = 0
     upcast_attention: bool = False
+    cross_frame: bool = False
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
@@ -83,9 +113,10 @@ class SpatialTransformer(nn.Module):
                 self.cross_attention_dim,
                 ip_tokens=self.ip_tokens,
                 upcast_attention=self.upcast_attention,
+                cross_frame=self.cross_frame,
                 name=f"transformer_blocks_{i}",
                 dtype=self.dtype,
-            )(h, ctx, ip_scale=ip_scale)
+            )(h, ctx, ip_scale=ip_scale, frames=F)
 
         h = h.reshape(B * F, H, W, inner)
         h = nn.Conv(C, (1, 1), name="proj_out", dtype=self.dtype)(h)

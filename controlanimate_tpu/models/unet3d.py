@@ -68,6 +68,10 @@ class UNet3DConfig:
     motion: MotionModuleConfig = field(default_factory=MotionModuleConfig)
     # IP-Adapter dual-stream tokens in cross attention (0 = off)
     ip_tokens: int = 0
+    # sparse-causal cross-frame attention in attn1 (AnimateDiff-v1 lineage
+    # flag `unet_use_cross_frame_attention`; the reference's branch is dead
+    # code — see models/transformer.py docstring)
+    cross_frame_attention: bool = False
 
     @staticmethod
     def from_arch(
@@ -95,6 +99,7 @@ class UNet3DConfig:
             motion_module_decoder_only=arch.motion_module_decoder_only,
             motion=arch.motion_module,
             ip_tokens=ip_tokens,
+            cross_frame_attention=arch.unet_use_cross_frame_attention,
         )
 
 
@@ -123,6 +128,7 @@ class UNet3DConditionModel(nn.Module):
             cross_attention_dim=cfg.cross_attention_dim,
             ip_tokens=cfg.ip_tokens,
             upcast_attention=cfg.upcast_attention,
+            cross_frame=cfg.cross_frame_attention,
             groups=cfg.norm_num_groups,
             name=name,
             dtype=self.dtype,

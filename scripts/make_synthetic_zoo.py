@@ -90,6 +90,9 @@ def main():
     dest = Path(args[0] if args else "models_synth")
     small = "--small" in sys.argv
     with_cn = "--controlnet" in sys.argv
+    # --lcm: native-LCM UNet layout (LCM_Dreamshaper_v7: guidance embedding
+    # via time_cond_proj_dim=256)
+    lcm = "--lcm" in sys.argv
     rs = np.random.RandomState(0)
 
     if small:
@@ -103,7 +106,7 @@ def main():
         vae_groups = 8
     else:
         text_dim = 768
-        ucfg = UNet3DConfig()  # full SD1.5 + motion v2
+        ucfg = UNet3DConfig(time_cond_proj_dim=256 if lcm else None)  # full SD1.5 + motion v2
         vae_ch = (128, 256, 512, 512)
         vae_groups = 32
 
@@ -169,11 +172,14 @@ def main():
 
     # UNet (+ motion module ckpt)
     unet = UNet3DConditionModel(ucfg)
+    init_kw = {}
+    if ucfg.time_cond_proj_dim:
+        init_kw["timestep_cond"] = jnp.zeros((1, ucfg.time_cond_proj_dim))
     ushapes = _flat_shapes(
         jax.eval_shape(
             lambda: unet.init(
                 jax.random.PRNGKey(0), jnp.zeros((1, 2, 8, 8, 4)), jnp.asarray([1]),
-                jnp.zeros((1, 7, ucfg.cross_attention_dim)),
+                jnp.zeros((1, 7, ucfg.cross_attention_dim)), **init_kw,
             )
         )["params"]
     )
@@ -182,14 +188,17 @@ def main():
     sd_motion = {k: v for k, v in full_sd.items() if "motion_modules" in k}
     unet_dir = base / "unet"
     unet_dir.mkdir(parents=True, exist_ok=True)
-    (unet_dir / "config.json").write_text(json.dumps({
+    unet_json = {
         "in_channels": 4, "out_channels": 4,
         "block_out_channels": list(ucfg.block_out_channels),
         "layers_per_block": ucfg.layers_per_block,
         "attention_head_dim": ucfg.attention_heads,
         "cross_attention_dim": ucfg.cross_attention_dim,
         "norm_num_groups": ucfg.norm_num_groups,
-    }))
+    }
+    if ucfg.time_cond_proj_dim:
+        unet_json["time_cond_proj_dim"] = ucfg.time_cond_proj_dim
+    (unet_dir / "config.json").write_text(json.dumps(unet_json))
     _save_safetensors(unet_dir / "diffusion_pytorch_model.safetensors", sd_2d)
     print(f"unet 2d: {len(sd_2d)} tensors")
 

@@ -299,3 +299,124 @@ def test_motion_form_override_matches(monkeypatch):
     monkeypatch.setenv("CONTROLANIMATE_MOTION_FORM", "mulreduce")
     b = attn.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+
+# ---- sparse-causal cross-frame attention (models/transformer.py) ----
+# The reference DECLARES this variant (unet_use_cross_frame_attention) but
+# its branch is dead code: attention.py:195 names SparseCausalAttention2D,
+# defined nowhere in the repo. Semantics here follow the Tune-A-Video /
+# AnimateDiff-v1 lineage: attn1 keys/values come from [frame 0, frame t-1].
+
+
+def _sc_blocks():
+    from controlanimate_tpu.models.transformer import BasicTransformerBlock
+
+    kw = dict(heads=2, dim_head=8, cross_attention_dim=24)
+    return (
+        BasicTransformerBlock(cross_frame=True, **kw),
+        BasicTransformerBlock(cross_frame=False, **kw),
+    )
+
+
+def _sc_data(B=2, F=5, N=6, C=16, seed=0):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    x = jax.random.normal(k1, (B * F, N, C), jnp.float32) * 0.5
+    ctx = jax.random.normal(k2, (B * F, 7, 24), jnp.float32) * 0.5
+    return x, ctx
+
+
+def test_sparse_causal_frame0_and_static_video_match_self_attn():
+    """Frame 0's K/V is [f0, f0]: softmax over duplicated keys with
+    duplicated values is exactly plain self-attention — and a static video
+    (all frames identical) must match plain self-attn on every frame."""
+    blk_sc, blk = _sc_blocks()
+    B, F, N, C = 2, 5, 6, 16
+    x, ctx = _sc_data(B, F, N, C)
+    params = blk.init(jax.random.PRNGKey(3), x, ctx)["params"]
+
+    out_sc = blk_sc.apply({"params": params}, x, ctx, frames=F).reshape(B, F, N, C)
+    out = blk.apply({"params": params}, x, ctx, frames=F).reshape(B, F, N, C)
+    np.testing.assert_allclose(
+        np.asarray(out_sc[:, 0]), np.asarray(out[:, 0]), atol=2e-5, rtol=1e-4
+    )
+
+    x0 = jnp.tile(x.reshape(B, F, N, C)[:, :1], (1, F, 1, 1)).reshape(B * F, N, C)
+    out_sc_s = blk_sc.apply({"params": params}, x0, ctx, frames=F)
+    out_s = blk.apply({"params": params}, x0, ctx, frames=F)
+    np.testing.assert_allclose(
+        np.asarray(out_sc_s), np.asarray(out_s), atol=2e-5, rtol=1e-4
+    )
+
+
+def test_sparse_causal_causality():
+    """Frame t's output depends on exactly {frame 0, frame t-1, frame t}."""
+    blk_sc, _ = _sc_blocks()
+    B, F, N, C = 1, 5, 6, 16
+    x, ctx = _sc_data(B, F, N, C)
+    params = blk_sc.init(jax.random.PRNGKey(3), x, ctx, frames=F)["params"]
+    base = np.asarray(
+        blk_sc.apply({"params": params}, x, ctx, frames=F)
+    ).reshape(B, F, N, C)
+
+    # perturb frame 3 (with noise — a constant shift would be erased by the
+    # pre-attention LayerNorm): frames 0..2 unchanged; frames 3 (query) and
+    # 4 (former-frame K/V) change
+    noise = jax.random.normal(jax.random.PRNGKey(9), (N, C), jnp.float32)
+    x4 = x.reshape(B, F, N, C)
+    xp = x4.at[:, 3].add(noise).reshape(B * F, N, C)
+    pert = np.asarray(
+        blk_sc.apply({"params": params}, xp, ctx, frames=F)
+    ).reshape(B, F, N, C)
+    np.testing.assert_allclose(pert[:, :3], base[:, :3], atol=2e-5, rtol=1e-4)
+    assert np.abs(pert[:, 3] - base[:, 3]).max() > 1e-3
+    assert np.abs(pert[:, 4] - base[:, 4]).max() > 1e-3
+    # frame 0 feeds every frame's K/V: perturbing it moves all frames
+    xp0 = x4.at[:, 0].add(noise).reshape(B * F, N, C)
+    pert0 = np.asarray(
+        blk_sc.apply({"params": params}, xp0, ctx, frames=F)
+    ).reshape(B, F, N, C)
+    assert all(np.abs(pert0[:, t] - base[:, t]).max() > 1e-3 for t in range(F))
+
+
+def test_sparse_causal_matches_post_projection_torch_form():
+    """The published Tune-A-Video form projects K/V first, then gathers
+    [frame 0, former frame] AFTER the projection; ours gathers the token
+    source BEFORE to_k/to_v (linear per-token maps commute with the gather).
+    Verify exact agreement against an independent torch implementation of
+    the post-projection form."""
+    import torch
+
+    from controlanimate_tpu.models.layers import Attention
+    from controlanimate_tpu.models.transformer import sparse_causal_kv
+
+    B, F, N, C, heads, dim_head = 2, 4, 5, 16, 2, 8
+    x, _ = _sc_data(B, F, N, C, seed=7)
+    attn = Attention(C, heads=heads, dim_head=dim_head)
+    params = attn.init(jax.random.PRNGKey(1), x)["params"]
+    out_j = np.asarray(
+        attn.apply({"params": params}, x, encoder_hidden_states=sparse_causal_kv(x, F))
+    )
+
+    xt = torch.tensor(np.asarray(x), dtype=torch.float64)
+    wq = torch.tensor(np.asarray(params["to_q"]["kernel"]), dtype=torch.float64)
+    wk = torch.tensor(np.asarray(params["to_k"]["kernel"]), dtype=torch.float64)
+    wv = torch.tensor(np.asarray(params["to_v"]["kernel"]), dtype=torch.float64)
+    wo = torch.tensor(np.asarray(params["to_out_0"]["kernel"]), dtype=torch.float64)
+    bo = torch.tensor(np.asarray(params["to_out_0"]["bias"]), dtype=torch.float64)
+    q, k, v = xt @ wq, xt @ wk, xt @ wv
+    inner = heads * dim_head
+    # gather AFTER projection (reference lineage form)
+    former = [0] + list(range(F - 1))
+    k4 = k.reshape(B, F, N, inner)
+    v4 = v.reshape(B, F, N, inner)
+    k_sc = torch.cat([k4[:, [0] * F], k4[:, former]], dim=2).reshape(B * F, 2 * N, inner)
+    v_sc = torch.cat([v4[:, [0] * F], v4[:, former]], dim=2).reshape(B * F, 2 * N, inner)
+
+    def split(t):
+        return t.reshape(t.shape[0], t.shape[1], heads, dim_head).transpose(1, 2)
+
+    out_t = torch.nn.functional.scaled_dot_product_attention(
+        split(q), split(k_sc), split(v_sc)
+    )
+    out_t = out_t.transpose(1, 2).reshape(B * F, N, inner) @ wo + bo
+    assert np.abs(out_j - out_t.numpy()).max() < 1e-5
