@@ -203,7 +203,7 @@ def load_flax_dpt(model_dir):
         )
         params = dpt_params_from_torch(sd, model.num_layers, taps)
         fn = jax.jit(lambda p, x: model.apply({"params": p}, x))
-        _CACHE[key] = (fn, params, cfg.get("patch_size", 16))
+        _CACHE[key] = (fn, jax.device_put(params), cfg.get("patch_size", 16))
     return _CACHE[key]
 
 

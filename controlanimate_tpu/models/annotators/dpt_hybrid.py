@@ -383,7 +383,7 @@ def run_flax(frames: np.ndarray, model_dir) -> np.ndarray:
         _, sd = ingest.load_hf_component(model_dir, "")
         model = model_from_config(cfg)
         params = dpt_hybrid_params_from_torch(sd, cfg)
-        _CACHE[key] = (jax.jit(lambda p, x: model.apply({"params": p}, x)), params)
+        _CACHE[key] = (jax.jit(lambda p, x: model.apply({"params": p}, x)), jax.device_put(params))
     fn, params = _CACHE[key]
     F, H, W, _ = frames.shape
     size = 384  # dpt-hybrid-midas native resolution

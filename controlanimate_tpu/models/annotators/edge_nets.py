@@ -204,7 +204,7 @@ def run(name: str, frames: np.ndarray, weight_dir: Path) -> np.ndarray:
                     model.apply({"params": p}, x), (x.shape[1], x.shape[2])
                 )
             )
-            _CACHE[key] = (fn, params)
+            _CACHE[key] = (fn, jax.device_put(params))
         fn, params = _CACHE[key]
         edge = fn(params, jnp.asarray(frames, jnp.float32))
         return np.repeat(np.asarray(edge), 3, axis=-1)
@@ -215,7 +215,7 @@ def run(name: str, frames: np.ndarray, weight_dir: Path) -> np.ndarray:
             model = LineartGenerator()
             params = lineart_params_from_torch(sd)
             fn = jax.jit(lambda p, x: model.apply({"params": p}, x))
-            _CACHE[key] = (fn, params)
+            _CACHE[key] = (fn, jax.device_put(params))
         fn, params = _CACHE[key]
         line = np.asarray(fn(params, jnp.asarray(frames, jnp.float32) / 255.0))
         # ControlNet lineart models consume inverted (white-on-black) maps

@@ -271,7 +271,7 @@ def run_flax(frames: np.ndarray, model_dir) -> np.ndarray:
         cfg = GLPNCfg.from_json(cfg_json)
         model = GLPNDepth(cfg)
         params = glpn_params_from_torch(sd, cfg)
-        _CACHE[key] = (jax.jit(lambda p, x: model.apply({"params": p}, x)), params)
+        _CACHE[key] = (jax.jit(lambda p, x: model.apply({"params": p}, x)), jax.device_put(params))
     fn, params = _CACHE[key]
     F, H, W, _ = frames.shape
     h32, w32 = max(H // 32 * 32, 32), max(W // 32 * 32, 32)

@@ -228,7 +228,7 @@ def run(frames: np.ndarray, weight_file: Path) -> np.ndarray:
         model = MLSDLarge()
         params = mlsd_params_from_torch(sd)
         fn = jax.jit(lambda p, x: model.apply({"params": p}, x))
-        _CACHE[key] = (fn, params)
+        _CACHE[key] = (fn, jax.device_put(params))
     fn, params = _CACHE[key]
 
     F, H, W, _ = frames.shape

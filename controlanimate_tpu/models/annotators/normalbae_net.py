@@ -432,7 +432,7 @@ def run(frames: np.ndarray) -> np.ndarray:
         _CACHE["apply"] = jax.jit(
             lambda p, x: model.apply({"params": p}, x)
         )
-        _CACHE["params"] = params
+        _CACHE["params"] = jax.device_put(params)
     x = (np.asarray(frames, np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
     out = _CACHE["apply"](_CACHE["params"], jnp.asarray(x))
     normal = np.asarray(out[..., :3])

@@ -257,7 +257,7 @@ def run(frames: np.ndarray, weight_dir: Path) -> np.ndarray:
         model = BodyPoseNet()
         params = body_params_from_torch(sd)
         fn = jax.jit(lambda p, x: model.apply({"params": p}, x))
-        _CACHE[key] = (fn, params)
+        _CACHE[key] = (fn, jax.device_put(params))
     fn, params = _CACHE[key]
 
     F, H, W, _ = frames.shape

@@ -125,5 +125,5 @@ def load_face_net(weight_dir: Path):
         model = FaceNet()
         params = face_params_from_torch(sd)
         fn = jax.jit(lambda p, x: model.apply({"params": p}, x))
-        _CACHE[key] = (fn, params)
+        _CACHE[key] = (fn, jax.device_put(params))
     return _CACHE[key]

@@ -157,5 +157,5 @@ def load_hand_net(weight_dir: Path):
         model = HandPoseNet()
         params = hand_params_from_torch(sd)
         fn = jax.jit(lambda p, x: model.apply({"params": p}, x))
-        _CACHE[key] = (fn, params)
+        _CACHE[key] = (fn, jax.device_put(params))
     return _CACHE[key]

@@ -209,7 +209,7 @@ def run(frames: np.ndarray, weight_dir: Path) -> np.ndarray:
         model = PiDiNet()
         params = pidinet_params_from_torch(sd)
         fn = jax.jit(lambda p, x: model.apply({"params": p}, x))
-        _CACHE[key] = (fn, params)
+        _CACHE[key] = (fn, jax.device_put(params))
     fn, params = _CACHE[key]
     x = jnp.asarray(frames, jnp.float32) / 255.0
     y = np.asarray(fn(params, x))

@@ -338,7 +338,7 @@ class FaceEnhancer:
         if not path.exists():
             raise FileNotFoundError(f"GFPGAN weights not found at {path}")
         self.model = GFPGANv1Clean()
-        self.params = gfpgan_params_from_torch(ingest.load_state_dict(path))
+        self.params = jax.device_put(gfpgan_params_from_torch(ingest.load_state_dict(path)))
         self._jit = jax.jit(lambda p, x: self.model.apply({"params": p}, x))
         import cv2
 

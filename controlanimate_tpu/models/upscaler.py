@@ -130,7 +130,7 @@ class Upscaler:
         if not path.exists():
             raise FileNotFoundError(f"RealESRGAN weights not found at {path}")
         self.model = RRDBNet(num_block=num_block)
-        self.params = rrdbnet_params_from_torch(ingest.load_state_dict(path), num_block)
+        self.params = jax.device_put(rrdbnet_params_from_torch(ingest.load_state_dict(path), num_block))
         self._jit = jax.jit(
             lambda p, x: self.model.apply({"params": p}, x)
         )

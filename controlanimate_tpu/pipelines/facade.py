@@ -135,6 +135,16 @@ class ControlAnimatePipeline:
         self._prompt_cache: dict = {}
         self._cn_dump_root: Optional[Path] = None
 
+        if built_adapter:
+            # write the checkpoint's to_k_ip/to_v_ip into every cross-attn
+            # (reference does this with a regex index remap,
+            # ip_adapter.py:136-185; here addressing is structural).
+            # Injection runs BEFORE mesh sharding / device commit so the
+            # injected leaves get the same placement as the rest of the tree.
+            self.models.unet_params = self.ip_adapter.inject_into_unet_params(
+                self.models.unet_params, self.models.unet.config
+            )
+
         # optional multi-chip mesh (new vs reference's hardcoded single GPU):
         # params replicate, video tensors shard data x context (SURVEY §5.8)
         self.mesh = None
@@ -147,13 +157,47 @@ class ControlAnimatePipeline:
             self.models.controlnet_params = [
                 shard_params(self.mesh, p) for p in self.models.controlnet_params
             ]
-        if built_adapter:
-            # write the checkpoint's to_k_ip/to_v_ip into every cross-attn
-            # (reference does this with a regex index remap,
-            # ip_adapter.py:136-185; here addressing is structural)
-            self.models.unet_params = self.ip_adapter.inject_into_unet_params(
-                self.models.unet_params, self.models.unet.config
-            )
+
+        # Commit every param tree to device ONCE. The disk loaders
+        # (weights/*.py) return host numpy trees; the engine deliberately
+        # passes params as call arguments (remote-compile payload cap — see
+        # engine.py), so without an explicit device_put each window call
+        # would re-transfer the full model host->device (~5.6GB f32 over the
+        # axon tunnel ≈ minutes PER WINDOW — measured, r3). Float leaves are
+        # cast to the run dtype first (the TPU analog of the reference's
+        # .half() upload policy, modules/controlanimate_pipeline.py:108-110):
+        # matmuls read them in compute dtype anyway, and the cast halves both
+        # the one-time upload and HBM residency.
+        self._commit_params()
+
+    # ---------------------------------------------------------- param commit
+    def _commit_params(self):
+        """device_put every model param tree exactly once (float leaves cast
+        to the run dtype). Leaves that are already jax Arrays — mesh-sharded
+        trees, or engine-built test fixtures — pass through untouched."""
+        dtype = self.dtype
+
+        def put_leaf(x):
+            if isinstance(x, jax.Array):
+                return x
+            a = np.asarray(x)
+            if a.dtype in (np.float32, np.float64) and dtype != jnp.float32:
+                a = a.astype(dtype)
+            return jax.device_put(a)
+
+        def put(tree):
+            return jax.tree_util.tree_map(put_leaf, tree)
+
+        m = self.models
+        m.unet_params = put(m.unet_params)
+        m.vae_params = put(m.vae_params)
+        m.controlnet_params = [put(p) for p in m.controlnet_params]
+        self.text.params = put(self.text.params)
+        if self.ip_adapter is not None:
+            if getattr(self.ip_adapter, "vision_params", None) is not None:
+                self.ip_adapter.vision_params = put(self.ip_adapter.vision_params)
+            if getattr(self.ip_adapter, "proj_params", None) is not None:
+                self.ip_adapter.proj_params = put(self.ip_adapter.proj_params)
 
     # ------------------------------------------------------------------ build
     def _build_from_disk(self):
