@@ -95,6 +95,13 @@ def build_pipeline(cfg: RunConfig) -> ControlAnimatePipeline:
     vae_params = jax.jit(
         lambda k: vae.init(k, jnp.zeros((1, 64, 64, 3), dtype))["params"]
     )(key)
+    # params live in bf16 on device, matching the product path (the facade
+    # casts disk-loaded float params to the run dtype at commit) — halves
+    # the per-step HBM weight reads vs f32 init params
+    cast = lambda t: jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if x.dtype in (jnp.float32, jnp.float64) else x, t
+    )
+    unet_params, vae_params = cast(unet_params), cast(vae_params)
     jax.block_until_ready(unet_params)
 
     # full-width CLIP text stack (SD1.5 geometry), tiny BPE vocab
@@ -104,7 +111,7 @@ def build_pipeline(cfg: RunConfig) -> ControlAnimatePipeline:
         intermediate_size=3072, eos_token_id=tok.eos_token_id,
     )
     tmodel = CLIPTextModel(tcfg, dtype=dtype)
-    tparams = tmodel.init(key, jnp.zeros((1, 77), jnp.int32))["params"]
+    tparams = cast(tmodel.init(key, jnp.zeros((1, 77), jnp.int32))["params"])
 
     models = EngineModels(unet=unet, unet_params=unet_params, vae=vae, vae_params=vae_params)
     return ControlAnimatePipeline(cfg, models=models, text_stack=TextStack(tok, tmodel, tparams))

@@ -152,6 +152,12 @@ class RunConfig:
     overlap_strength: float = 0.92
     use_lcm: bool = False
     use_img2img: bool = False
+    # reuse the previous window's clean VAE latents for the overlap input
+    # frames (identical pixels) instead of re-encoding them — cuts the
+    # per-window encode by overlap/frame_count on the LCM path. Off = strict
+    # reference behavior (fresh posterior draw each window); the reused
+    # latents are the same distribution and strictly more consistent.
+    reuse_overlap_latents: bool = True
 
     # models
     pretrained_model_path: str = ""
@@ -268,7 +274,7 @@ class RunConfig:
             "loop_back_frames", "use_ipadapter", "do_initial_generation",
             "use_face_enhancer", "upscale_first", "use_pallas_attention",
             "use_pallas_conv", "overlap_host_work", "use_native_framepipe",
-            "resume",
+            "resume", "reuse_overlap_latents",
         }
         tuple_keys = {
             "lora_model_paths", "lora_weights", "controlnets", "cond_scale",

@@ -92,6 +92,17 @@ class WindowStatic:
     # decode this many frames at a time (0 = whole window at once); bounds
     # VAE-decoder peak HBM so 32-frame windows fit a 16GB chip
     decode_chunk: int = 0
+    # overlap-latent reuse: when the window call provides `head_latents`
+    # (clean latents of the first `overlaps` input frames, cached from the
+    # previous window's encode of the SAME pixels) prepare encodes only the
+    # novel frames; `tail_latents` > 0 makes prepare also return that many
+    # clean tail latents for the next window's cache. Cuts the per-window
+    # VAE encode by overlaps/frame_count. Deviation from the reference
+    # (which re-encodes every frame with a per-window reseeded generator,
+    # controlanimation_pipeline.py:565-588): the overlap frames keep the
+    # posterior sample drawn when first encoded instead of a fresh draw —
+    # same distribution, strictly more temporally consistent.
+    tail_latents: int = 0
 
     @property
     def do_cfg(self) -> bool:
@@ -184,27 +195,49 @@ class AnimationEngine:
         latent_shape: tuple[int, ...],
         input_frames: Optional[jnp.ndarray],
         last_output_frames: Optional[jnp.ndarray],
-    ) -> jnp.ndarray:
-        """Reference prepare_latents (:549-613), vectorized over frames."""
+        head_latents: Optional[jnp.ndarray] = None,
+    ):
+        """Reference prepare_latents (:549-613), vectorized over frames.
+
+        Returns the noised latents; when st.tail_latents > 0 returns
+        (noised_latents, clean_tail_latents) — see WindowStatic."""
         k_noise, k_in, k_out = jax.random.split(key, 3)
         noise = jax.random.normal(k_noise, latent_shape, jnp.float32)
+
+        # latent reuse is plumbed for the LCM window (the product profile,
+        # where the input-frame encode is the whole prepare cost)
+        assert not (st.tail_latents or head_latents is not None) or st.use_lcm
+
+        def with_tail(noised, frames_latents):
+            if not st.tail_latents:
+                return noised
+            assert frames_latents is not None
+            return noised, frames_latents[:, -st.tail_latents:]
 
         needs_frames = st.overlaps > 0 or st.strength < 1.0 or st.use_lcm
         if not needs_frames:
             return noise * sched.init_noise_sigma
 
-        frames_latents = (
-            self._encode_frames(vae_params, input_frames, k_in)
-            if input_frames is not None
-            else None
-        )
+        if input_frames is None:
+            frames_latents = None
+        elif head_latents is not None:
+            # overlap-latent reuse: the head frames' clean latents were
+            # encoded last window (identical pixels); encode only the rest
+            novel = self._encode_frames(
+                vae_params, input_frames[:, head_latents.shape[1]:], k_in
+            )
+            frames_latents = jnp.concatenate(
+                [head_latents.astype(novel.dtype), novel], axis=1
+            )
+        else:
+            frames_latents = self._encode_frames(vae_params, input_frames, k_in)
 
         if st.use_lcm:
             # LCM noises the stacked input-frame latents only (reference
             # :591-593); last_output_frames never reach the latent path, so
             # skip their VAE encode entirely (~K frame encodes per window)
             assert frames_latents is not None
-            return sched.add_noise(frames_latents, noise, 0)
+            return with_tail(sched.add_noise(frames_latents, noise, 0), frames_latents)
 
         last_latents = (
             self._encode_frames(vae_params, last_output_frames, k_out)
@@ -239,14 +272,26 @@ class AnimationEngine:
     # across window configs, and the per-program HLO stays within the size
     # limits of remote-compile TPU paths (the single-program form exceeded
     # the axon tunnel's compile-request cap).
+    # Program caches are keyed on the WindowStatic fields each program
+    # actually consumes — NOT the whole st — so window variants that differ
+    # only in fields a program ignores (e.g. overlaps 0 vs 8 for denoise,
+    # between the first and the steady-state window) share one compile.
+    @staticmethod
+    def _sched_key(st: WindowStatic) -> tuple:
+        return (st.scheduler_name, st.steps, st.strength, st.use_lcm,
+                st.lcm_origin_steps)
+
     def _make_prepare_fn(self, st: WindowStatic, sched) -> Callable:
-        key_ = ("prep", st)
+        key_ = ("prep", self._sched_key(st), st.overlaps, st.use_img2img,
+                st.tail_latents)
         if key_ in self._window_cache:
             return self._window_cache[key_]
 
-        def prepare(vae_params, input_frames, last_output_frames, latent_shape, key):
+        def prepare(vae_params, input_frames, last_output_frames, latent_shape,
+                    key, head_latents=None):
             return self._prepare_latents(
-                st, sched, vae_params, key, latent_shape, input_frames, last_output_frames
+                st, sched, vae_params, key, latent_shape, input_frames,
+                last_output_frames, head_latents
             )
 
         fn = jax.jit(prepare, static_argnames=("latent_shape",))
@@ -262,7 +307,8 @@ class AnimationEngine:
         return fn
 
     def _make_denoise_fn(self, st: WindowStatic, sched) -> Callable:
-        key_ = ("denoise", st)
+        key_ = ("denoise", self._sched_key(st), st.guidance_scale,
+                st.guess_mode, st.ipa_scale, st.ip_tokens)
         if key_ in self._window_cache:
             return self._window_cache[key_]
 
@@ -419,7 +465,7 @@ class AnimationEngine:
         decode = self._make_decode_fn(st.output_uint8, st.decode_chunk)
 
         def run(unet_params, cn_params, text_embeds, cond_images,
-                input_frames, last_output_frames, key):
+                input_frames, last_output_frames, key, head_latents=None):
             k_prep, k_loop = jax.random.split(key)
             B = text_embeds.shape[0] // 2 if st.do_cfg else text_embeds.shape[0]
             if input_frames is not None:
@@ -428,12 +474,17 @@ class AnimationEngine:
                 F, H, W = st.frame_count, st.height, st.width
             latent_shape = (B, F, H // 8, W // 8, 4)
             latents = prepare(
-                self.m.vae_params, input_frames, last_output_frames, latent_shape, k_prep
+                self.m.vae_params, input_frames, last_output_frames, latent_shape,
+                k_prep, head_latents
             )
+            tail = None
+            if st.tail_latents:
+                latents, tail = latents
             latents = denoise(
                 unet_params, cn_params, text_embeds, cond_images, latents, k_loop
             )
-            return decode(self.m.vae_params, latents)
+            out = decode(self.m.vae_params, latents)
+            return (out, tail) if st.tail_latents else out
 
         self._window_cache[key_] = run
         return run
@@ -446,8 +497,10 @@ class AnimationEngine:
         cond_images: Sequence[jnp.ndarray] = (),
         input_frames: Optional[jnp.ndarray] = None,
         last_output_frames: Optional[jnp.ndarray] = None,
-    ) -> jnp.ndarray:
-        """Run one window; returns (B, F, H, W, 3) float frames in [0,1]."""
+        head_latents: Optional[jnp.ndarray] = None,
+    ):
+        """Run one window; returns (B, F, H, W, 3) float frames in [0,1]
+        (plus the clean tail latents when st.tail_latents > 0)."""
         fn = self.make_window_fn(st)
         return fn(
             self.m.unet_params,
@@ -457,4 +510,5 @@ class AnimationEngine:
             input_frames,
             last_output_frames,
             key,
+            head_latents,
         )

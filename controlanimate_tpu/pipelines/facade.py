@@ -134,6 +134,9 @@ class ControlAnimatePipeline:
         self.engine = AnimationEngine(self.models, schedule)
         self._prompt_cache: dict = {}
         self._cn_dump_root: Optional[Path] = None
+        # (expected_epoch, clean tail latents) from the previous window —
+        # see RunConfig.reuse_overlap_latents
+        self._overlap_latent_cache: Optional[tuple] = None
 
         if built_adapter:
             # write the checkpoint's to_k_ip/to_v_ip into every cross-attn
@@ -448,6 +451,22 @@ class ControlAnimatePipeline:
             pos = jnp.concatenate([pos, img_e], axis=1)
             neg = jnp.concatenate([neg, img_u], axis=1)
 
+        # overlap-latent reuse (LCM product path, single device): the head
+        # input frames of this window are the previous window's tail pixels,
+        # whose clean latents were cached by the previous prepare
+        reuse = (
+            cfg.use_lcm
+            and cfg.reuse_overlap_latents
+            and self.mesh is None
+            and not cfg.loop_back_frames
+            and input_frames is not None
+        )
+        head_latents = None
+        if reuse and overlaps and self._overlap_latent_cache is not None:
+            cache_epoch, cached_tail = self._overlap_latent_cache
+            if cache_epoch == epoch and cached_tail.shape[1] == overlaps:
+                head_latents = cached_tail
+
         st = WindowStatic(
             scheduler_name=cfg.scheduler,
             steps=cfg.steps,
@@ -471,6 +490,7 @@ class ControlAnimatePipeline:
             decode_chunk=16 if (
                 window_frames >= 32 and cfg.height * cfg.width >= 512 * 512
             ) else 0,
+            tail_latents=cfg.overlap_length if reuse else 0,
         )
 
         do_cfg = st.do_cfg
@@ -513,5 +533,9 @@ class ControlAnimatePipeline:
             cond_images=cond_images,
             input_frames=input_dev,
             last_output_frames=last_dev,
+            head_latents=head_latents,
         )
+        if st.tail_latents:
+            out, tail = out
+            self._overlap_latent_cache = (epoch + 1, tail)
         return out[0]  # (F, H, W, 3) uint8 DEVICE array (quantized on device)

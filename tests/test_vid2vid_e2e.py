@@ -21,7 +21,8 @@ from scripts.vid2vid import vid2vid
 D_CTX = 16
 
 
-def tiny_pipeline(cfg: RunConfig, with_controlnet=False, ip_adapter=None) -> ControlAnimatePipeline:
+def tiny_pipeline(cfg: RunConfig, with_controlnet=False, ip_adapter=None,
+                  lcm=False) -> ControlAnimatePipeline:
     key = jax.random.PRNGKey(0)
     ucfg = UNet3DConfig(
         block_out_channels=(8, 16),
@@ -31,11 +32,14 @@ def tiny_pipeline(cfg: RunConfig, with_controlnet=False, ip_adapter=None) -> Con
         attention_heads=2,
         cross_attention_dim=D_CTX,
         norm_num_groups=4,
+        time_cond_proj_dim=32 if lcm else None,  # LCM w-embedding input
         motion=MotionModuleConfig(num_attention_heads=2, temporal_position_encoding_max_len=8),
     )
     unet = UNet3DConditionModel(ucfg)
+    init_kw = {"timestep_cond": jnp.zeros((1, 32))} if lcm else {}
     unet_params = unet.init(
-        key, jnp.zeros((1, 2, 8, 8, 4)), jnp.asarray([1]), jnp.zeros((1, 7, D_CTX))
+        key, jnp.zeros((1, 2, 8, 8, 4)), jnp.asarray([1]), jnp.zeros((1, 7, D_CTX)),
+        **init_kw,
     )["params"]
     vae = AutoencoderKL(block_out_channels=(4, 8, 8, 8), groups=2)
     vae_params = vae.init(key, jnp.zeros((1, 64, 64, 3)))["params"]
@@ -272,3 +276,48 @@ def test_controlnet_condition_map_dumps(tmp_path):
     assert len(roots) == 1
     pngs = list((roots[0] / "sd-controlnet-canny").glob("*.png"))
     assert len(pngs) == 4  # one per window frame
+
+
+def test_overlap_latent_reuse(monkeypatch):
+    """LCM windows reuse the previous window's clean tail latents for the
+    overlap input frames (RunConfig.reuse_overlap_latents, default on):
+    steady-state prepare encodes only the novel frames, and the facade
+    carries the tail cache across windows. Off = the reference's re-encode-
+    everything behavior (controlanimation_pipeline.py:565-588)."""
+    from controlanimate_tpu.pipelines.engine import AnimationEngine
+
+    encode_shapes = []
+    orig = AnimationEngine._encode_frames
+
+    def spy(self, vp, frames, key):
+        encode_shapes.append(int(frames.shape[1]))
+        return orig(self, vp, frames, key)
+
+    monkeypatch.setattr(AnimationEngine, "_encode_frames", spy)
+
+    lcm_kw = dict(use_lcm=True, scheduler="LCMScheduler", steps=2,
+                  guidance_scale=7.5, lcm_origin_steps=50)
+    cfg = base_cfg(**lcm_kw)
+    pipe = tiny_pipeline(cfg, lcm=True)
+    frames_in = (np.random.RandomState(3).rand(10, 64, 64, 3) * 255).astype(np.uint8)
+    sink = ArrayFrameSink()
+    summary = vid2vid(config=cfg, pipeline=pipe,
+                      frame_source=ArrayFrameSource(frames_in), frame_sink=sink)
+    assert summary["frames_written"] == 10 and summary["windows"] == 4
+    assert all(np.isfinite(np.asarray(f, np.float32)).all() for f in sink.frames)
+    # trace evidence: window 1 traced a full 4-frame encode, the steady-state
+    # window traced a 2-frame (novel-only) encode
+    assert 4 in encode_shapes and 2 in encode_shapes
+    # the cache points at the NEXT window and holds overlap_length latents
+    tag, tail = pipe._overlap_latent_cache
+    assert tag == summary["windows"] and tail.shape[1] == cfg.overlap_length
+
+    # reuse disabled: every window encodes the full frame_count, cache unset
+    encode_shapes.clear()
+    cfg_off = base_cfg(reuse_overlap_latents=False, **lcm_kw)
+    pipe_off = ControlAnimatePipeline(cfg_off, models=pipe.models, text_stack=pipe.text)
+    summary = vid2vid(config=cfg_off, pipeline=pipe_off,
+                      frame_source=ArrayFrameSource(frames_in), frame_sink=ArrayFrameSink())
+    assert summary["frames_written"] == 10
+    assert set(encode_shapes) == {4}
+    assert pipe_off._overlap_latent_cache is None
