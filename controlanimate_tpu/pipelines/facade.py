@@ -120,6 +120,20 @@ class ControlAnimatePipeline:
 
             self.ip_adapter = IPAdapter.from_config(config)
             built_adapter = True
+            if self.ip_adapter.variant in ("xl", "plus-xl"):
+                # SDXL-family checkpoints project to 2048-dim context tokens;
+                # the SD1.5 UNet's 768-dim cross-attention cannot consume
+                # them. The reference's XL classes are likewise unused by its
+                # shipped pipelines (modules/ip_adapter.py:288-482, no call
+                # sites) — raise instead of silently mis-shaping.
+                raise NotImplementedError(
+                    f"IP-Adapter checkpoint {config.ipadapter_ckpt_path} is "
+                    f"the SDXL-family '{self.ip_adapter.variant}' variant; "
+                    "driving it requires an SDXL UNet, which is outside the "
+                    "SD1.5 product path. Use an sd15 adapter checkpoint "
+                    "(base/plus/full), or use IPAdapter.build_projection "
+                    "directly for standalone XL token projection."
+                )
         if models is not None and text_stack is not None:
             self.models = models
             self.text = text_stack

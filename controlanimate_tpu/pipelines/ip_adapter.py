@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Any, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -152,6 +152,22 @@ def preprocess_clip_image(frame: np.ndarray, size: int = 224) -> np.ndarray:
     return img[None]
 
 
+class Projection(NamedTuple):
+    """Result of checkpoint-layout detection: the Flax projection module, its
+    converted params, the context-token count, which vision-tower output feeds
+    it, and the detected checkpoint variant
+    (base | plus | full | xl | plus-xl)."""
+
+    model: nn.Module
+    params: dict
+    num_tokens: int
+    embed_source: str
+    variant: str
+
+
+SDXL_CROSS_ATTENTION_DIM = 2048
+
+
 class IPAdapter:
     """Host-side bundle: CLIP vision tower + projection + UNet K/V weights."""
 
@@ -164,6 +180,7 @@ class IPAdapter:
         ip_sd: Optional[dict] = None,
         num_tokens: int = 4,
         embed_source: str = "image_embeds",
+        variant: str = "base",
     ):
         self.vision_model = vision_model
         self.vision_params = vision_params
@@ -175,6 +192,7 @@ class IPAdapter:
         # uses the projected global embedding, Plus/Full the penultimate
         # hidden states (reference: ip_adapter.py:187-197 vs :370-380)
         self.embed_source = embed_source
+        self.variant = variant
         self._embed_cache: dict = {}
         self._uncond_cache: Optional[jnp.ndarray] = None
 
@@ -183,12 +201,26 @@ class IPAdapter:
     def build_projection(image_proj_sd: dict, vcfg: Optional[CLIPVisionConfig],
                          cross_attention_dim: int = 768):
         """Detect the checkpoint variant from its image_proj key layout and
-        build (module, params, num_tokens, embed_source).
+        build a `Projection` (module, params, num_tokens, embed_source,
+        variant).
 
         Layouts (reference: modules/ip_adapter.py / modules/resampler.py):
           base  ip-adapter_sd15:      proj.weight / norm.weight  (ImageProjModel)
           plus  ip-adapter-plus_sd15: latents / proj_in / layers.* (Resampler)
           full  ip-adapter-full-face: proj.0 / proj.2 / proj.3   (MLP Sequential)
+          xl    ip-adapter_sdxl:      same layout as base, but the projection
+                targets SDXL's 2048-dim cross-attention (reference
+                IPAdapterXL, modules/ip_adapter.py:288-350 — init_proj is
+                inherited from IPAdapter with the SDXL UNet's dim)
+          plus-xl ip-adapter-plus_sdxl: same layout as plus with
+                dim=1280/heads=20 latents and a 2048-dim proj_out
+                (reference IPAdapterPlusXL, modules/ip_adapter.py:396-419)
+
+        The SDXL-family variants are detected and built as standalone
+        projection models (usable via `project`/`embed_image`); driving them
+        through the engine requires an SDXL UNet, which is outside the SD1.5
+        product path — the reference's own pipelines never instantiate its XL
+        classes either (no call sites outside modules/ip_adapter.py).
         """
         sd = {k: np.asarray(v) for k, v in image_proj_sd.items()}
         if "latents" in sd:  # -------------------------------------- Plus
@@ -215,6 +247,11 @@ class IPAdapter:
                              "bias": sd["proj_out.bias"]},
                 "norm_out": {"scale": sd["norm_out.weight"], "bias": sd["norm_out.bias"]},
             }
+            variant = (
+                "plus-xl"
+                if int(sd["proj_out.weight"].shape[0]) == SDXL_CROSS_ATTENTION_DIM
+                else "plus"
+            )
             for i in range(depth):
                 a = f"layers.{i}.0"
                 params[f"layers_{i}_attn"] = {
@@ -229,7 +266,7 @@ class IPAdapter:
                     "scale": sd[f"{f}.0.weight"], "bias": sd[f"{f}.0.bias"]}
                 params[f"layers_{i}_ff_0"] = {"kernel": dense_kernel(sd[f"{f}.1.weight"])}
                 params[f"layers_{i}_ff_2"] = {"kernel": dense_kernel(sd[f"{f}.3.weight"])}
-            return model, params, num_queries, "penultimate"
+            return Projection(model, params, num_queries, "penultimate", variant)
 
         if "proj.0.weight" in sd:  # -------------------------------- Full
             cross = int(sd["proj.2.weight"].shape[0])
@@ -245,18 +282,33 @@ class IPAdapter:
                 raise ValueError("IP-Adapter-Full needs the vision config to "
                                  "determine its token count")
             num_tokens = (vcfg.image_size // vcfg.patch_size) ** 2 + 1
-            return model, params, num_tokens, "penultimate"
+            return Projection(model, params, num_tokens, "penultimate", "full")
 
-        if "proj.weight" in sd:  # ---------------------------------- base
-            num_tokens = int(sd["proj.weight"].shape[0]) // cross_attention_dim
-            model = ImageProjModel(cross_attention_dim=cross_attention_dim,
+        if "proj.weight" in sd:  # ----------------------------- base / xl
+            rows = int(sd["proj.weight"].shape[0])
+            cross = cross_attention_dim
+            if rows % cross != 0:
+                # the projection's row count must be num_tokens * cross-dim;
+                # when it isn't compatible with the caller's (SD1.5) dim, the
+                # checkpoint is the SDXL-family base adapter (reference
+                # IPAdapterXL: 4 tokens x 2048 = 8192 rows)
+                if rows % SDXL_CROSS_ATTENTION_DIM != 0:
+                    raise ValueError(
+                        f"IP-Adapter proj.weight has {rows} rows, not a "
+                        f"multiple of cross-attention dim {cross} (SD1.5) or "
+                        f"{SDXL_CROSS_ATTENTION_DIM} (SDXL)"
+                    )
+                cross = SDXL_CROSS_ATTENTION_DIM
+            variant = "xl" if cross == SDXL_CROSS_ATTENTION_DIM else "base"
+            num_tokens = rows // cross
+            model = ImageProjModel(cross_attention_dim=cross,
                                    num_tokens=num_tokens)
             params = {
                 "proj": {"kernel": dense_kernel(sd["proj.weight"]),
                          "bias": sd["proj.bias"]},
                 "norm": {"scale": sd["norm.weight"], "bias": sd["norm.bias"]},
             }
-            return model, params, num_tokens, "image_embeds"
+            return Projection(model, params, num_tokens, "image_embeds", variant)
 
         raise ValueError(
             f"unrecognized IP-Adapter image_proj layout: {sorted(sd)[:6]}..."
@@ -284,11 +336,12 @@ class IPAdapter:
         _, v_sd = ingest.load_hf_component(enc_path, "")
         v_params = vision_params_from_torch(v_sd, vcfg.num_layers)
 
-        proj, proj_params, num_tokens, embed_source = cls.build_projection(
+        proj, proj_params, num_tokens, embed_source, variant = cls.build_projection(
             image_proj_sd, vcfg
         )
         return cls(vm, v_params, proj, proj_params, ip_sd=ip_sd,
-                   num_tokens=num_tokens, embed_source=embed_source)
+                   num_tokens=num_tokens, embed_source=embed_source,
+                   variant=variant)
 
     @classmethod
     def random_init(cls, clip_embed_dim: int = 16, cross_attention_dim: int = 768,

@@ -149,11 +149,11 @@ def test_build_projection_base_golden():
 
     torch.manual_seed(0)
     tm = _torch_image_proj(cross=32, clip_dim=64, tokens=4)
-    model, params, num_tokens, source = IPAdapter.build_projection(
+    model, params, num_tokens, source, variant = IPAdapter.build_projection(
         _sd_numpy(tm), None, cross_attention_dim=32
     )
     assert isinstance(model, ImageProjModel)
-    assert (num_tokens, source) == (4, "image_embeds")
+    assert (num_tokens, source, variant) == (4, "image_embeds", "base")
     x = np.random.RandomState(0).randn(2, 64).astype(np.float32)
     with torch.no_grad():
         want = tm(torch.from_numpy(x)).numpy()
@@ -169,12 +169,12 @@ def test_build_projection_full_golden():
     from controlanimate_tpu.models.clip import CLIPVisionConfig
 
     vcfg = CLIPVisionConfig(image_size=32, patch_size=8)
-    model, params, num_tokens, source = IPAdapter.build_projection(
+    model, params, num_tokens, source, variant = IPAdapter.build_projection(
         _sd_numpy(tm), vcfg, cross_attention_dim=32
     )
     assert isinstance(model, MLPProjModel)
     assert num_tokens == (32 // 8) ** 2 + 1  # all vision tokens incl. CLS
-    assert source == "penultimate"
+    assert (source, variant) == ("penultimate", "full")
     x = np.random.RandomState(1).randn(2, 17, 64).astype(np.float32)
     with torch.no_grad():
         want = tm(torch.from_numpy(x)).numpy()
@@ -190,17 +190,78 @@ def test_build_projection_plus_golden():
     # use it too (heads are inferred from the inner width: 128//64 = 2)
     tm = _torch_resampler(dim=128, depth=2, dim_head=64, heads=2, num_queries=8,
                           embedding_dim=48, output_dim=32)
-    model, params, num_tokens, source = IPAdapter.build_projection(
+    model, params, num_tokens, source, variant = IPAdapter.build_projection(
         _sd_numpy(tm), None, cross_attention_dim=32
     )
     assert isinstance(model, Resampler)
-    assert (num_tokens, source) == (8, "penultimate")
+    assert (num_tokens, source, variant) == (8, "penultimate", "plus")
     assert (model.depth, model.heads, model.dim_head) == (2, 2, 64)
     x = np.random.RandomState(2).randn(2, 10, 48).astype(np.float32)
     with torch.no_grad():
         want = tm(torch.from_numpy(x)).numpy()
     got = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_build_projection_xl_base_golden():
+    """SDXL base adapter (reference IPAdapterXL, modules/ip_adapter.py:288):
+    same proj/norm layout as sd15 but 4 tokens x 2048-dim rows. Detection must
+    classify it 'xl' even when the caller passes the SD1.5 cross-attn dim
+    (8192 rows are not a multiple of 768), and the forward must match torch
+    at the real checkpoint geometry."""
+    import torch
+
+    torch.manual_seed(3)
+    tm = _torch_image_proj(cross=2048, clip_dim=1280, tokens=4)
+    model, params, num_tokens, source, variant = IPAdapter.build_projection(
+        _sd_numpy(tm), None, cross_attention_dim=768
+    )
+    assert isinstance(model, ImageProjModel)
+    assert (num_tokens, source, variant) == (4, "image_embeds", "xl")
+    assert model.cross_attention_dim == 2048
+    x = np.random.RandomState(3).randn(2, 1280).astype(np.float32) * 0.2
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_build_projection_plus_xl_golden():
+    """SDXL Plus adapter (reference IPAdapterPlusXL, modules/ip_adapter.py:
+    396-419): the Resampler layout with a 2048-dim proj_out is the
+    discriminator. Reduced inner dims keep the torch oracle cheap; the
+    proj_out row count is the real one."""
+    import torch
+
+    torch.manual_seed(4)
+    tm = _torch_resampler(dim=128, depth=1, dim_head=64, heads=2, num_queries=8,
+                          embedding_dim=48, output_dim=2048)
+    model, params, num_tokens, source, variant = IPAdapter.build_projection(
+        _sd_numpy(tm), None, cross_attention_dim=768
+    )
+    assert isinstance(model, Resampler)
+    assert (num_tokens, source, variant) == (8, "penultimate", "plus-xl")
+    assert (model.output_dim, model.heads) == (2048, 2)
+    x = np.random.RandomState(4).randn(2, 10, 48).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_build_projection_incompatible_rows_raise():
+    """A proj.weight row count compatible with neither the SD1.5 nor the
+    SDXL cross-attention dim must raise, not silently mis-tokenize."""
+    import pytest
+
+    sd = {
+        "proj.weight": np.zeros((1000, 16), np.float32),
+        "proj.bias": np.zeros(1000, np.float32),
+        "norm.weight": np.ones(16, np.float32),
+        "norm.bias": np.zeros(16, np.float32),
+    }
+    with pytest.raises(ValueError, match="not a multiple"):
+        IPAdapter.build_projection(sd, None, cross_attention_dim=768)
 
 
 def test_kv_injection_structural():
