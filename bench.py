@@ -209,10 +209,24 @@ def main(frames: int = 16, size: int = 512, steps: int = 4, iters: int = 16):
         (rng.rand(frames, size, size, 3) * 255).astype(np.uint8) for _ in range(3)
     ]
 
+    cache_before = {p.name for p in CACHE_DIR.glob("*-cache")}
     t0 = time.time()
     out = pipeline.animate(inputs[0], None, overlaps=0, seed=cfg.seed)
     assert out.shape == (frames, size, size, 3) and out.dtype == np.uint8
-    log(f"compile + first window: {time.time() - t0:.1f}s")
+    first_window = time.time() - t0
+    # distinguish real XLA compiles from the tunnel's session-start warmup:
+    # every *-cache file written during the first window is a program the
+    # seeded cache did NOT cover (ledger: warm-adjacent sessions load the
+    # same fully-seeded programs in ~50s; several-minutes-idle sessions take
+    # 4-15x that for identical zero-miss loads)
+    new = [p for p in CACHE_DIR.glob("*-cache") if p.name not in cache_before]
+    log(
+        f"compile + first window: {first_window:.1f}s "
+        f"(cache misses this window: {len(new)}, "
+        f"{sum(p.stat().st_size for p in new) / 1e6:.1f} MB compiled fresh "
+        f"of {sum(p.stat().st_size for p in CACHE_DIR.glob('*-cache')) / 1e6:.0f} MB total "
+        "-- remainder of the time is tunnel session warmup, not compilation)"
+    )
 
     # sustained throughput with the production pipelining: host->device of
     # window N+1 overlaps window N's compute and the emitted frames leave as
