@@ -137,11 +137,11 @@ class Upsample3D(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, F, H, W, C = x.shape
-        # nearest-2x + conv3x3 as four parity-folded 2x2 convs on the
-        # half-res input (ops/upsample.py): exact, 4/9 the MACs, no 2x
-        # intermediate. (Nearest resize is dtype-invariant, so no f32
-        # round trip either — the reference upcasts only because torch
-        # bf16 interpolate was unsupported, :59-63.)
+        # nearest-2x + conv3x3 folded into one parity-decomposed conv
+        # (ops/upsample.py): exact, 4/9 the MACs, no 2x intermediate.
+        # (Nearest resize is dtype-invariant, so no f32 round trip either
+        # — the reference upcasts only because torch bf16 interpolate was
+        # unsupported, :59-63.)
         class _Conv(nn.Module):
             in_features: int
             features: int

@@ -149,8 +149,8 @@ class Upsample2D(nn.Module):
                 return ck.conv3x3_fused(
                     up, kernel.astype(self.dtype), bias, interpret=not _on_tpu()
                 )
-        # nearest-2x + conv3x3 as four parity-folded 2x2 convs on the
-        # half-res input: exact, 4/9 the MACs, no 2x intermediate
+        # nearest-2x + conv3x3 folded into one parity-decomposed conv
+        # (ops/upsample.py): exact, 4/9 the MACs, no 2x intermediate
         return upsample2x_conv3x3(x, kernel, bias, dtype=self.dtype)
 
 

@@ -5,7 +5,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from controlanimate_tpu.ops.upsample import upsample2x_conv3x3
+from controlanimate_tpu.ops.upsample import (
+    upsample2x_conv3x3,
+    upsample2x_conv3x3_transposed,
+)
 
 
 def _oracle(x, kernel, bias):
@@ -28,6 +31,33 @@ def test_matches_resize_conv(shape):
     ref = _oracle(x, kernel, bias)
     assert out.shape == ref.shape == (B, 2 * H, 2 * W, Co)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 8, 16, 16), (1, 5, 7, 8, 24)])
+def test_transposed_matches_resize_conv(shape):
+    """The single-lhs-dilated-conv form of the same decomposition (used when
+    CONTROLANIMATE_UPSAMPLE_FORM=transposed) is exact too, odd sizes incl."""
+    B, H, W, Ci, Co = shape
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    x = jax.random.normal(ks[0], (B, H, W, Ci), jnp.float32)
+    kernel = jax.random.normal(ks[1], (3, 3, Ci, Co), jnp.float32) * 0.1
+    bias = jax.random.normal(ks[2], (Co,), jnp.float32) * 0.1
+    out = upsample2x_conv3x3_transposed(x, kernel, bias)
+    ref = _oracle(x, kernel, bias)
+    assert out.shape == ref.shape == (B, 2 * H, 2 * W, Co)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_form_env_switch(monkeypatch):
+    """upsample2x_conv3x3 dispatches to the transposed form via env var."""
+    ks = jax.random.split(jax.random.PRNGKey(4), 3)
+    x = jax.random.normal(ks[0], (1, 6, 6, 8), jnp.float32)
+    kernel = jax.random.normal(ks[1], (3, 3, 8, 8), jnp.float32) * 0.1
+    bias = jnp.zeros((8,), jnp.float32)
+    base = upsample2x_conv3x3(x, kernel, bias)
+    monkeypatch.setenv("CONTROLANIMATE_UPSAMPLE_FORM", "transposed")
+    switched = upsample2x_conv3x3(x, kernel, bias)
+    np.testing.assert_allclose(np.asarray(switched), np.asarray(base), atol=2e-5, rtol=1e-4)
 
 
 def test_vae_upsample_uses_decomposition():
