@@ -1,0 +1,128 @@
+"""RealESRGAN (RRDBNet) upscaler: golden vs an independent torch mirror of
+the basicsr network, plus the Upscaler facade paths (reference:
+modules/upscaler.py:17-74, basicsr RRDBNet / RealESRGAN_x4plus_anime_6B)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from controlanimate_tpu.models.upscaler import (
+    RRDBNet,
+    Upscaler,
+    rrdbnet_params_from_torch,
+)
+
+
+# --------------------------------------------------------------------------
+# torch mirror (basicsr rrdbnet_arch semantics, state_dict keys match the
+# RealESRGAN checkpoint layout: body.{i}.rdb{r}.conv{c}.weight etc.)
+# --------------------------------------------------------------------------
+
+
+class _RDBT(nn.Module):
+    def __init__(self, feat, growth=32):
+        super().__init__()
+        self.conv1 = nn.Conv2d(feat, growth, 3, 1, 1)
+        self.conv2 = nn.Conv2d(feat + growth, growth, 3, 1, 1)
+        self.conv3 = nn.Conv2d(feat + 2 * growth, growth, 3, 1, 1)
+        self.conv4 = nn.Conv2d(feat + 3 * growth, growth, 3, 1, 1)
+        self.conv5 = nn.Conv2d(feat + 4 * growth, feat, 3, 1, 1)
+
+    def forward(self, x):
+        l = lambda t: F.leaky_relu(t, 0.2)
+        x1 = l(self.conv1(x))
+        x2 = l(self.conv2(torch.cat([x, x1], 1)))
+        x3 = l(self.conv3(torch.cat([x, x1, x2], 1)))
+        x4 = l(self.conv4(torch.cat([x, x1, x2, x3], 1)))
+        x5 = self.conv5(torch.cat([x, x1, x2, x3, x4], 1))
+        return x + 0.2 * x5
+
+
+class _RRDBT(nn.Module):
+    def __init__(self, feat):
+        super().__init__()
+        self.rdb1, self.rdb2, self.rdb3 = _RDBT(feat), _RDBT(feat), _RDBT(feat)
+
+    def forward(self, x):
+        return x + 0.2 * self.rdb3(self.rdb2(self.rdb1(x)))
+
+
+class _TorchRRDBNet(nn.Module):
+    def __init__(self, num_feat=64, num_block=6):
+        super().__init__()
+        self.conv_first = nn.Conv2d(3, num_feat, 3, 1, 1)
+        self.body = nn.ModuleList([_RRDBT(num_feat) for _ in range(num_block)])
+        self.conv_body = nn.Conv2d(num_feat, num_feat, 3, 1, 1)
+        self.conv_up1 = nn.Conv2d(num_feat, num_feat, 3, 1, 1)
+        self.conv_up2 = nn.Conv2d(num_feat, num_feat, 3, 1, 1)
+        self.conv_hr = nn.Conv2d(num_feat, num_feat, 3, 1, 1)
+        self.conv_last = nn.Conv2d(num_feat, 3, 3, 1, 1)
+
+    def forward(self, x):
+        l = lambda t: F.leaky_relu(t, 0.2)
+        feat = self.conv_first(x)
+        body = feat
+        for b in self.body:
+            body = b(body)
+        feat = feat + self.conv_body(body)
+        feat = l(self.conv_up1(F.interpolate(feat, scale_factor=2, mode="nearest")))
+        feat = l(self.conv_up2(F.interpolate(feat, scale_factor=2, mode="nearest")))
+        return self.conv_last(l(self.conv_hr(feat)))
+
+
+def _randomize(m, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in m.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+
+
+def test_rrdbnet_matches_torch_oracle():
+    tm = _TorchRRDBNet(num_feat=16, num_block=1).eval()
+    _randomize(tm)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = rrdbnet_params_from_torch(sd, num_block=1)
+    model = RRDBNet(num_feat=16, num_block=1)
+
+    x = np.random.RandomState(0).rand(1, 6, 6, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+    out = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    assert out.shape == (1, 24, 24, 3)
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def synthetic_ckpt(tmp_path_factory):
+    """RealESRGAN-layout checkpoint ({'params_ema': ...}) at facade geometry
+    (num_feat=64) with a single block."""
+    tm = _TorchRRDBNet(num_feat=64, num_block=1)
+    _randomize(tm, seed=1)
+    path = tmp_path_factory.mktemp("upscaler") / "RealESRGAN_tiny.pth"
+    torch.save({"params_ema": tm.state_dict()}, path)
+    return str(path)
+
+
+def test_upscaler_facade_batch(synthetic_ckpt):
+    up = Upscaler(scale=4.0, model_path=synthetic_ckpt, num_block=1)
+    frames = (np.random.RandomState(1).rand(2, 8, 8, 3) * 255).astype(np.uint8)
+    out = up.upscale_batch(frames)
+    assert out.shape == (2, 32, 32, 3) and out.dtype == np.uint8
+
+    dev = up.upscale_batch_device(jnp.asarray(frames))
+    assert dev.shape == (2, 32, 32, 3) and dev.dtype == jnp.uint8
+    # host and device paths agree to the u8 rounding boundary (the host
+    # path's *255+0.5 promotes to f64; the device path stays f32)
+    diff = np.abs(np.asarray(dev).astype(np.int16) - out.astype(np.int16))
+    assert diff.max() <= 1 and (diff > 0).mean() < 1e-3
+
+
+def test_upscaler_scale_range(synthetic_ckpt):
+    with pytest.raises(ValueError):
+        Upscaler(scale=8.0, model_path=synthetic_ckpt)
+    with pytest.raises(ValueError):
+        Upscaler(scale=1.0, model_path=synthetic_ckpt)
