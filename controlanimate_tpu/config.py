@@ -235,6 +235,15 @@ class RunConfig:
     dtype: str = "bfloat16"
     mesh_shape: tuple[int, ...] = ()
     mesh_axes: tuple[str, ...] = ("data", "context")
+    # segment-parallel vid2vid (new; SURVEY §2.13 data-parallel plan): split
+    # the input video into this many contiguous segments and generate them
+    # LOCKSTEP as one batched window program — the segment axis is the batch
+    # axis, sharded over the mesh's `data` axis when a mesh is configured
+    # (or MXU-batched on one chip). Each segment stitches independently,
+    # exactly like the reference run on each segment separately (same seed);
+    # segment boundaries carry no overlap, like the reference's own clip
+    # boundaries. 0/1 = sequential (reference behavior)
+    parallel_segments: int = 0
     # XLA's fused attention measured ~12% faster than the Pallas kernel on
     # v5e (see ops/attention.py); enable Pallas for fast cold starts on
     # remote-compile paths (it compiles ~700x faster through the tunnel)

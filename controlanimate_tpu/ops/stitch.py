@@ -39,3 +39,36 @@ def _stitch_window_impl(frames, anchor, prev_overlap, overlap_length, to_yuv, em
 stitch_window = jax.jit(
     _stitch_window_impl, static_argnames=("overlap_length", "to_yuv", "emit")
 )
+
+
+def _stitch_window_batch_impl(frames, anchor, prev_overlap, overlap_length, to_yuv, emit):
+    """Segment-batched stitch (SURVEY §2.13: data-parallel video segments).
+
+    frames: (S, F, H, W, 3) uint8 — one window per segment, lockstep;
+    anchor: (S, H, W, 3) or None; prev_overlap: (S, K, H, W, 3) or None.
+    Returns (emitted_packed, new_anchor, last_output_frames, overlap_tail),
+    each with a leading segment axis. Per-segment semantics are identical to
+    _stitch_window_impl (segments never mix — color match and blending are
+    vmapped over the segment axis)."""
+    if anchor is not None:
+        frames = jax.vmap(match_colors_u8)(frames, anchor)
+    new_anchor = frames[:, max(overlap_length - 1, -1)]
+    last_out = frames[:, -overlap_length:] if overlap_length > 0 else None
+    if prev_overlap is not None and prev_overlap.shape[1] > 0:
+        K = prev_overlap.shape[1]
+        head = jax.vmap(blend_overlap_u8)(frames[:, :K], prev_overlap)
+        frames = jnp.concatenate([head, frames[:, K:]], axis=1)
+    tail = frames[:, -overlap_length:] if overlap_length > 0 else None
+    emitted = frames[:, :emit]
+    if to_yuv:
+        S, E = emitted.shape[:2]
+        packed = rgb_to_yuv420(emitted.reshape(S * E, *emitted.shape[2:]))
+        packed = packed.reshape(S, E, -1)
+    else:
+        packed = emitted
+    return packed, new_anchor, last_out, tail
+
+
+stitch_window_batch = jax.jit(
+    _stitch_window_batch_impl, static_argnames=("overlap_length", "to_yuv", "emit")
+)

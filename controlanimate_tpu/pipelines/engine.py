@@ -34,7 +34,12 @@ import numpy as np
 from ..models.controlnet import ControlNetModel, sum_controlnet_residuals
 from ..models.unet3d import UNet3DConditionModel
 from ..models.vae import AutoencoderKL
-from ..schedulers import DiffusionSchedule, Scheduler, make_scheduler
+from ..schedulers import (
+    DiffusionSchedule,
+    Scheduler,
+    batch_shared_normal,
+    make_scheduler,
+)
 
 
 def get_w_embedding(w: jnp.ndarray, embedding_dim: int = 256) -> jnp.ndarray:
@@ -148,10 +153,17 @@ class AnimationEngine:
         raw frames (4x less host->device traffic than f32)."""
         if frames.dtype == jnp.uint8:
             frames = frames.astype(jnp.float32) / 127.5 - 1.0
-        B, F, H, W, C = frames.shape
-        flat = frames.reshape(B * F, H, W, C)
-        z = self.m.vae.apply({"params": vae_params}, flat, key, method=AutoencoderKL.encode)
-        return z.reshape(B, F, *z.shape[1:])
+        # vmap over the batch axis with ONE key: every batch element
+        # (segment / data-parallel window) samples the posterior with the
+        # same noise a sequential same-seed run draws at (F, ...) — see
+        # schedulers/base.py batch_shared_normal. XLA flattens the vmap
+        # back into a (B*F)-batch conv, so the program is unchanged.
+        def enc(fb):
+            return self.m.vae.apply(
+                {"params": vae_params}, fb, key, method=AutoencoderKL.encode
+            )
+
+        return jax.vmap(enc)(frames)
 
     def _decode_latents(
         self, vae_params, latents: jnp.ndarray, to_uint8: bool = False,
@@ -202,7 +214,10 @@ class AnimationEngine:
         Returns the noised latents; when st.tail_latents > 0 returns
         (noised_latents, clean_tail_latents) — see WindowStatic."""
         k_noise, k_in, k_out = jax.random.split(key, 3)
-        noise = jax.random.normal(k_noise, latent_shape, jnp.float32)
+        # batch-shared draw: batch elements are independent same-seed videos
+        # (segments / data-parallel windows) — each must see the noise a
+        # sequential same-seed run would (schedulers/base.py docstring)
+        noise = batch_shared_normal(k_noise, latent_shape, jnp.float32)
 
         # latent reuse is plumbed for the LCM window (the product profile,
         # where the input-frame encode is the whole prepare cost)

@@ -393,21 +393,31 @@ class ControlAnimatePipeline:
         Pure host+transfer work, exposed separately so the orchestrator can
         run it for window N+1 while window N occupies the device
         (SURVEY §7 hard-part 6; the reference does this serially inside the
-        window call, controlresiduals_pipeline.py:226-273)."""
+        window call, controlresiduals_pipeline.py:226-273).
+
+        input_frames may be (F, H, W, 3) — one window, staged as batch 1 —
+        or (S, F, H, W, 3) for the segment-parallel path (annotators run per
+        frame over the flattened S·F stack; maps keep the segment axis)."""
         cfg = self.config
         cond_images = []
         if self.models.controlnets and input_frames is not None:
             from ..models.annotators import annotate_frames
 
+            frames = np.asarray(input_frames)
+            batched = frames.ndim == 5
+            flat = frames.reshape(-1, *frames.shape[-3:]) if batched else frames
             for name in cfg.controlnets:
-                maps = annotate_frames(name, input_frames)  # (F, H, W, 3) [0,1]
+                maps = annotate_frames(name, flat)  # (N, H, W, 3) [0,1]
                 if cfg.save_frames:
                     self._dump_condition_maps(name, maps, epoch)
                 # quantize to uint8 for transfer (the reference feeds
                 # uint8-derived PIL maps anyway); normalized on device
-                cond_images.append(
-                    jnp.asarray((np.asarray(maps) * 255.0 + 0.5).astype(np.uint8))[None]
-                )
+                maps_u8 = (np.asarray(maps) * 255.0 + 0.5).astype(np.uint8)
+                if batched:
+                    maps_u8 = maps_u8.reshape(*frames.shape[:2], *maps_u8.shape[1:])
+                    cond_images.append(jnp.asarray(maps_u8))
+                else:
+                    cond_images.append(jnp.asarray(maps_u8)[None])
         return cond_images
 
     # --------------------------------------------------------------- animate
@@ -432,6 +442,7 @@ class ControlAnimatePipeline:
         epoch: int = 0,
         frame_count: Optional[int] = None,
         cond_images: Optional[list] = None,  # pre-staged by prepare_cond_images
+        segments: int = 0,
     ) -> jnp.ndarray:
         """Generate one window; returns the (F, H, W, 3) uint8 frames as a
         DEVICE array without forcing a host readback — callers can overlap
@@ -441,11 +452,24 @@ class ControlAnimatePipeline:
 
         Mirrors reference ControlAnimatePipeline.animate
         (modules/controlanimate_pipeline.py:124-169) + the engine __call__.
+
+        segments > 1 runs S independent video segments LOCKSTEP as one
+        batched window (SURVEY §2.13 data-parallel plan): input_frames is
+        (S, F, H, W, 3), last_output_frames (S, K, H, W, 3), and the return
+        keeps the segment axis — (S, F, H, W, 3) uint8. The batch axis
+        shards over the mesh's `data` axis when a mesh is configured.
         """
         cfg = self.config
         strength = cfg.strength if strength is None else strength
+        S = max(int(segments), 0)
+        batched = S > 1
 
         pos, neg = self._encode_prompts(cfg.prompt, cfg.n_prompt, cfg.clip_skip)
+        if batched:
+            # one shared prompt, tiled per segment (per-segment IP anchors
+            # attach below, so tiling must happen before the token concat)
+            pos = jnp.broadcast_to(pos, (S, *pos.shape[1:]))
+            neg = jnp.broadcast_to(neg, (S, *neg.shape[1:]))
 
         if input_frames is None:
             window_frames = frame_count or cfg.frame_count
@@ -459,9 +483,18 @@ class ControlAnimatePipeline:
         ipa_scale = cfg.ipa_scale
         if self.ip_adapter is not None:
             if last_output_frames is not None and len(last_output_frames):
-                img_e, img_u = self.ip_adapter.embed_image(last_output_frames[0])
+                if batched:
+                    # per-segment anchor frame (reference anchors on
+                    # last_output_frames[0], vid2vid.py:199-212)
+                    anchors = np.asarray(last_output_frames)[:, 0]
+                    pairs = [self.ip_adapter.embed_image(a) for a in anchors]
+                    img_e = jnp.concatenate([p[0] for p in pairs], axis=0)
+                    img_u = jnp.concatenate([p[1] for p in pairs], axis=0)
+                else:
+                    img_e, img_u = self.ip_adapter.embed_image(last_output_frames[0])
             else:
-                img_e = img_u = jnp.zeros((1, self.ip_adapter.num_tokens, pos.shape[-1]))
+                zshape = (S if batched else 1, self.ip_adapter.num_tokens, pos.shape[-1])
+                img_e = img_u = jnp.zeros(zshape)
             pos = jnp.concatenate([pos, img_e], axis=1)
             neg = jnp.concatenate([neg, img_u], axis=1)
 
@@ -478,7 +511,11 @@ class ControlAnimatePipeline:
         head_latents = None
         if reuse and overlaps and self._overlap_latent_cache is not None:
             cache_epoch, cached_tail = self._overlap_latent_cache
-            if cache_epoch == epoch and cached_tail.shape[1] == overlaps:
+            if (
+                cache_epoch == epoch
+                and cached_tail.shape[1] == overlaps
+                and cached_tail.shape[0] == (S if batched else 1)
+            ):
                 head_latents = cached_tail
 
         st = WindowStatic(
@@ -518,12 +555,14 @@ class ControlAnimatePipeline:
         def to_device(frames):
             # raw uint8 across the host->device boundary (4x less traffic);
             # the engine normalizes to [-1,1] on device. Already-staged
-            # device arrays pass through (double-buffered callers).
+            # device arrays pass through (double-buffered callers); 5-dim
+            # input already carries the batch/segment axis.
             if frames is None:
                 return None
             if isinstance(frames, jnp.ndarray):
                 return frames if frames.ndim == 5 else frames[None]
-            return jnp.asarray(np.asarray(frames, np.uint8))[None]  # add batch axis
+            arr = np.asarray(frames, np.uint8)
+            return jnp.asarray(arr) if arr.ndim == 5 else jnp.asarray(arr)[None]
 
         input_dev = to_device(input_frames)
         last_dev = to_device(last_output_frames)
@@ -552,4 +591,6 @@ class ControlAnimatePipeline:
         if st.tail_latents:
             out, tail = out
             self._overlap_latent_cache = (epoch + 1, tail)
+        if batched:
+            return out  # (S, F, H, W, 3) uint8 DEVICE array
         return out[0]  # (F, H, W, 3) uint8 DEVICE array (quantized on device)

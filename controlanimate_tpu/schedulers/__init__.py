@@ -5,7 +5,7 @@ Registry names match the reference's scheduler config strings
 configs/prompts/SampleConfig.yaml `scheduler:`).
 """
 
-from .base import Scheduler, available_schedulers, make_scheduler
+from .base import Scheduler, available_schedulers, batch_shared_normal, make_scheduler
 from .common import DiffusionSchedule, make_schedule
 from .ddim import DDIMScheduler
 from .dpm import DPMSolverMultistepScheduler

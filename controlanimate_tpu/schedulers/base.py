@@ -21,6 +21,23 @@ import numpy as np
 from .common import DiffusionSchedule
 
 
+def batch_shared_normal(key, shape, dtype=jnp.float32):
+    """Gaussian noise SHARED across the leading batch axis.
+
+    The engine's batch axis carries independent same-seed videos (lockstep
+    segments in segment-parallel vid2vid, or data-parallel windows on a
+    mesh). The reference, run separately on each segment with the same
+    config seed, draws the SAME noise stream for every segment
+    (reference: modules/controlanimate_pipeline.py:129-130 re-seeds per
+    window) — so batch elements must share draws for per-segment parity
+    with a sequential run. Identical to a plain draw when shape[0] == 1.
+    """
+    import jax
+
+    one = jax.random.normal(key, (1, *shape[1:]), dtype)
+    return jnp.broadcast_to(one, shape)
+
+
 class Scheduler:
     """Base functional scheduler.
 

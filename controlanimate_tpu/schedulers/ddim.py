@@ -64,8 +64,8 @@ class DDIMScheduler(Scheduler):
         dir_xt = jnp.sqrt(1.0 - a_prev - sigma**2) * eps
         prev = jnp.sqrt(a_prev) * x0 + dir_xt
         if self.eta > 0.0:
-            import jax
+            from .base import batch_shared_normal
 
-            noise = jax.random.normal(key, sample.shape, sample.dtype)
+            noise = batch_shared_normal(key, sample.shape, sample.dtype)
             prev = prev + sigma * noise
         return prev, state

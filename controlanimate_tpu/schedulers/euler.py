@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .base import Scheduler, register
+from .base import Scheduler, batch_shared_normal, register
 from .common import (
     DiffusionSchedule,
     interp_sigmas,
@@ -95,6 +95,6 @@ class EulerAncestralDiscreteScheduler(_SigmaScheduler):
         x0 = self._pred_x0(model_output, sample, sigma, self.prediction_type)
         derivative = (sample - x0) / sigma
         prev = sample + derivative * (self._sigma_down[i] - sigma)
-        noise = jax.random.normal(key, sample.shape, sample.dtype)
+        noise = batch_shared_normal(key, sample.shape, sample.dtype)
         prev = prev + noise * self._sigma_up[i]
         return prev, state

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .base import Scheduler, register
+from .base import Scheduler, batch_shared_normal, register
 from .common import DiffusionSchedule
 
 
@@ -84,7 +84,7 @@ class LCMScheduler(Scheduler):
         a_t = self._abar_t[i]
         x0 = self.pred_original(model_output, sample, a_t, self.prediction_type)
         denoised = self._c_out[i] * x0 + self._c_skip[i] * sample
-        noise = jax.random.normal(key, sample.shape, sample.dtype)
+        noise = batch_shared_normal(key, sample.shape, sample.dtype)
         a_n = self._abar_next[i]
         renoised = jnp.sqrt(a_n) * denoised + jnp.sqrt(1.0 - a_n) * noise
         is_last = i == (self.num_steps - 1)

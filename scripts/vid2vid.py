@@ -159,6 +159,21 @@ def vid2vid(
     # ---- seed (reference: vid2vid.py:147-148) ----
     seed = cfg.seed if cfg.seed != -1 else int(np.random.randint(1, 2**16))
 
+    # ---- segment-parallel validation (fail fast, before IO spawns) ----
+    if cfg.parallel_segments > 1:
+        if cfg.resume:
+            raise ValueError(
+                "resume is not supported with parallel_segments; checkpoints "
+                "are sequential-mode only (run without parallel_segments to "
+                "resume, or restart the parallel run from scratch)"
+            )
+        if cfg.save_frames:
+            raise ValueError(
+                "save_frames is not supported with parallel_segments "
+                "(per-frame dumps assume a single sequential stream); run "
+                "sequentially for frame dumps"
+            )
+
     # ---- resume state ----
     out_dir_early = Path(cfg.output_video_dir)
     resumed = None
@@ -256,6 +271,38 @@ def vid2vid(
             )
         except FileNotFoundError:
             upscaler = None  # no local RealESRGAN weights: emit raw frames
+
+    # ---- segment-parallel dispatch (SURVEY §2.13 data-parallel plan) ----
+    if cfg.parallel_segments > 1:
+        if frame_source is None:
+            raise ValueError(
+                "parallel_segments needs an input video (txt2vid streams are "
+                "sequential by construction: each window depends on the last)"
+            )
+        summary = _run_segments(
+            cfg, pipeline, frame_source, frame_sink, upscaler,
+            sink_pix_fmt=sink_pix_fmt, upscale=upscale,
+            out_w=out_w, out_h=out_h, max_windows=max_windows, seed=seed,
+        )
+        if own_sink:
+            frame_sink.close()
+        if own_source:
+            frame_source.close()
+        final_path = out_dir / "output.mp4"
+        if (
+            own_sink
+            and isinstance(frame_sink, (media.FFMPEGFrameSink,) + _native_sink_types())
+            and media.ffmpeg_available(cfg.ffmpeg_path)
+        ):
+            media.video_to_high_fps(
+                str(final_path), str(raw_video_path),
+                cfg.input_video_path if has_input else None,
+                cfg.fps_ffmpeg, crf=cfg.crf, ffmpeg_path=cfg.ffmpeg_path,
+                start_time=cfg.start_time, end_time=cfg.end_time,
+            )
+        summary["seed"] = seed
+        summary["output"] = str(final_path if final_path.exists() else raw_video_path)
+        return summary
 
     # ---- epoch loop (reference: vid2vid.py:168-268) ----
     timers = PhaseTimers()
@@ -579,6 +626,232 @@ def vid2vid(
         "seed": seed,
         "output": str(final_path if final_path.exists() else raw_video_path),
         "windows": windows_run,
+        "timers": timers.summary(),
+    }
+
+
+def _run_segments(
+    cfg: RunConfig,
+    pipeline,
+    frame_source,
+    frame_sink,
+    upscaler,
+    *,
+    sink_pix_fmt: str,
+    upscale: float,
+    out_w: int,
+    out_h: int,
+    max_windows: Optional[int],
+    seed: int,
+) -> dict:
+    """Segment-parallel vid2vid (SURVEY §2.13: 'embarrassingly parallel
+    across video segments with fixed seeds' — the reference is single-GPU
+    sequential, modules/controlanimate_pipeline.py:68).
+
+    The input video is split into S contiguous segments generated LOCKSTEP:
+    window w of every segment runs as ONE batched window program (the
+    segment axis is the engine's batch axis, sharded over the mesh `data`
+    axis when cfg.mesh_shape is set). Per-segment semantics match running
+    the sequential loop on each segment separately with the same seed —
+    same noise stream (batch-shared draws, schedulers/base.py), and overlap
+    carry / color match / blending never cross segment boundaries, exactly
+    like the reference's own clip boundaries. Outputs agree with the
+    sequential run to batched-program float rounding (a +-1 LSB flip can
+    amplify across chained windows through the uint8 re-encode feedback;
+    single-window outputs are pinned to <=1 LSB in the e2e tests).
+
+    Trade-offs vs the sequential loop (documented, not silent):
+      * the full input and output live in host memory (segments complete in
+        parallel but the sink is written in order at the end);
+      * no epoch checkpoints (callers get all-or-nothing; the sequential
+        path keeps crash resume);
+      * the last segment is padded by repeating its final frame so every
+        segment runs the same window count (the pad is trimmed on emit).
+
+    max_windows bounds windows PER SEGMENT (each segment is its own stream).
+    """
+    import jax
+
+    from controlanimate_tpu.ops.stitch import stitch_window_batch
+
+    S = int(cfg.parallel_segments)
+    F, ov = cfg.frame_count, cfg.overlap_length
+    novel = F - ov if ov > 0 else F
+    timers = PhaseTimers()
+
+    # ---- drain the source and lay out segments ----
+    frames = []
+    with timers.phase("read_input"):
+        while True:
+            f = frame_source.read()
+            if f is None:
+                break
+            frames.append(f)
+    T = len(frames)
+    if T == 0:
+        return {"frames_written": 0, "seed": seed, "output": "", "windows": 0,
+                "segments": S, "timers": timers.summary()}
+
+    per_seg = -(-T // S)  # ceil
+    k = 1 if per_seg <= F else 1 + -(-(per_seg - F) // novel)
+    if max_windows is not None:
+        k = min(k, max_windows)
+    seg_len = F + (k - 1) * novel
+    padded_total = S * seg_len
+    arr = np.stack(frames)
+    del frames
+    if padded_total <= T:
+        arr = arr[:padded_total]  # max_windows truncation (sequential parity)
+    else:
+        arr = np.concatenate(
+            [arr, np.repeat(arr[-1:], padded_total - T, axis=0)]
+        )
+    segs = arr.reshape(S, seg_len, *arr.shape[1:])
+    emit_real = min(T, padded_total)
+
+    to_yuv = sink_pix_fmt == "yuv420p" and upscaler is None and upscale <= 1.0
+    stitch = stitch_window_batch
+    emit = F - min(ov, F) if ov > 0 else F
+
+    # ---- prefetch: stage + annotate window w+1 while window w runs ----
+    executor = None
+    pending = None
+    can_pre_annotate = not cfg.loop_back_frames
+    if cfg.overlap_host_work:
+        from concurrent.futures import ThreadPoolExecutor
+
+        executor = ThreadPoolExecutor(max_workers=1, thread_name_prefix="seg-prefetch")
+
+    def _prep(w: int):
+        batch = segs[:, w * novel: w * novel + F]
+        cond = None
+        if can_pre_annotate and hasattr(pipeline, "prepare_cond_images"):
+            with timers.phase("annotate_prefetch"):
+                cond = pipeline.prepare_cond_images(batch, w)
+        return batch, cond, jnp.asarray(batch)
+
+    # ---- lockstep window loop ----
+    seg_buffers: list[list] = [[] for _ in range(S)]
+    overlap_out = None   # (S, ov, H, W, 3) device
+    last_out = None      # (S, ov, H, W, 3) device — img2img/IP anchors
+    anchor = None        # (S, H, W, 3) device — color-match reference
+    pending_packed = None
+    done_initial_gen = not (cfg.use_ipadapter and cfg.do_initial_generation)
+
+    def _fetch_packed():
+        nonlocal pending_packed
+        if pending_packed is None:
+            return
+        packed = np.asarray(pending_packed)
+        pending_packed = None
+        with timers.phase("emit_buffer"):
+            for s in range(S):
+                seg_buffers[s].append(packed[s])
+
+    for w in range(k):
+        if pending is not None:
+            batch, pre_cond, staged = pending.result()
+            pending = None
+        else:
+            batch, pre_cond, staged = _prep(w)
+        if w > 0 and ov > 0 and cfg.loop_back_frames:
+            # substitute generated frames as annotator inputs
+            # (reference: vid2vid.py:193-194), per segment
+            batch = batch.copy()
+            batch[:, :ov] = np.asarray(overlap_out, np.uint8)
+            staged = jnp.asarray(batch)
+
+        if executor is not None and w + 1 < k:
+            pending = executor.submit(_prep, w + 1)
+
+        overlaps_cur = ov if w > 0 else 0
+        strength = cfg.overlap_strength if w > 0 else cfg.strength
+        cond_kw = {"cond_images": pre_cond} if pre_cond is not None else {}
+        with timers.phase("animate_window"):
+            if not done_initial_gen:
+                # IP-Adapter baseline double pass (reference: vid2vid.py:199-212),
+                # batched: every segment generates its own baseline anchor
+                out = pipeline.animate_async(
+                    staged, last_out, overlaps=overlaps_cur, strength=strength,
+                    seed=seed, epoch=w, segments=S, **cond_kw,
+                )
+                anchors = out[:, -ov:] if ov > 0 else out[:, -1:]
+                out = pipeline.animate_async(
+                    staged, anchors, overlaps=int(anchors.shape[1]),
+                    strength=cfg.overlap_strength, seed=seed, epoch=w,
+                    segments=S, **cond_kw,
+                )
+                done_initial_gen = True
+            else:
+                out = pipeline.animate_async(
+                    staged, last_out, overlaps=overlaps_cur, strength=strength,
+                    seed=seed, epoch=w, segments=S, **cond_kw,
+                )
+
+        # fetch the PREVIOUS window's emit while this window's programs run
+        _fetch_packed()
+
+        with timers.phase("stitch"):
+            packed, anchor, last_out, overlap_out = stitch(
+                out, anchor, overlap_out if w > 0 else None,
+                overlap_length=ov, to_yuv=to_yuv, emit=emit,
+            )
+        pending_packed = packed
+
+    _fetch_packed()
+    if ov > 0 and overlap_out is not None:
+        # per-segment tail overlap frames (generated, not yet emitted)
+        tail = overlap_out
+        if to_yuv:
+            S_, K_ = tail.shape[:2]
+            tail = rgb_to_yuv420(
+                jnp.reshape(tail, (S_ * K_, *tail.shape[2:]))
+            ).reshape(S_, K_, -1)
+        tail_host = np.asarray(tail)
+        for s in range(S):
+            seg_buffers[s].append(tail_host[s])
+
+    if executor is not None:
+        executor.shutdown(wait=True)
+
+    # ---- ordered write: segment 0's frames first, pad trimmed ----
+    frames_written = 0
+    with timers.phase("upscale_and_emit"):
+        for s in range(S):
+            if frames_written >= emit_real:
+                break  # trailing segments were pure pad (T << S * seg_len)
+            out_frames = np.concatenate(seg_buffers[s], axis=0)
+            seg_buffers[s] = None
+            budget = min(len(out_frames), emit_real - frames_written)
+            out_frames = out_frames[:budget]
+            if to_yuv:
+                for fr in out_frames:
+                    frame_sink.write(fr)
+            else:
+                if upscaler is not None:
+                    try:
+                        up = np.asarray(
+                            upscaler.upscale_batch_device(jnp.asarray(out_frames))
+                        )
+                        out_frames = up
+                    except (ValueError, AttributeError):
+                        out_frames = np.stack(_upscale_frames(
+                            out_frames, upscaler, upscale, out_w, out_h
+                        ))
+                elif upscale > 1.0:
+                    out_frames = np.stack(_upscale_frames(
+                        out_frames, None, upscale, out_w, out_h
+                    ))
+                for fr in out_frames:
+                    frame_sink.write(np.asarray(fr, np.uint8))
+            frames_written += budget
+
+    return {
+        "frames_written": frames_written,
+        "seed": seed,
+        "output": "",
+        "windows": k,
+        "segments": S,
         "timers": timers.summary(),
     }
 

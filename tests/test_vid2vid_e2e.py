@@ -321,3 +321,140 @@ def test_overlap_latent_reuse(monkeypatch):
     assert summary["frames_written"] == 10
     assert set(encode_shapes) == {4}
     assert pipe_off._overlap_latent_cache is None
+
+
+# ---------------------------------------------------------------- segments
+def test_segment_parallel_counts_and_determinism(base_pipe):
+    """parallel_segments=2: lockstep batched windows cover every input frame
+    exactly once (SURVEY §2.13 data-parallel plan), deterministically."""
+    cfg = base_cfg(parallel_segments=2, checkpoint_interval=0)
+    # T=20, S=2, F=4, ov=2 -> per-segment 10 frames = 4 windows, no padding
+    frames_in = (np.random.RandomState(11).rand(20, 64, 64, 3) * 255).astype(np.uint8)
+    sinks = []
+    for _ in range(2):
+        sink = ArrayFrameSink()
+        summary = vid2vid(
+            config=cfg, pipeline=base_pipe,
+            frame_source=ArrayFrameSource(frames_in), frame_sink=sink,
+        )
+        assert summary["frames_written"] == 20
+        assert summary["segments"] == 2
+        assert summary["windows"] == 4  # per segment, lockstep
+        assert len(sink.frames) == 20
+        sinks.append(np.stack(sink.frames))
+    np.testing.assert_array_equal(sinks[0], sinks[1])
+
+
+def test_segment_parallel_matches_sequential_per_segment(base_pipe):
+    """THE parity contract: segment s of a parallel run reproduces a
+    sequential run on segment s's frames alone with the same seed (the
+    reference, run separately per segment, re-seeds identically —
+    schedulers/base.py batch_shared_normal). Single-window geometry: across
+    chained windows the uint8 re-encode feedback amplifies the batched-vs-
+    single program's float differences beyond bit-comparability."""
+    frames_in = (np.random.RandomState(17).rand(8, 64, 64, 3) * 255).astype(np.uint8)
+
+    cfg_par = base_cfg(parallel_segments=2, checkpoint_interval=0)
+    sink_par = ArrayFrameSink()
+    sp = vid2vid(config=cfg_par, pipeline=base_pipe,
+                 frame_source=ArrayFrameSource(frames_in), frame_sink=sink_par)
+    assert sp["frames_written"] == 8 and sp["windows"] == 1
+
+    cfg_seq = base_cfg(checkpoint_interval=0)
+    seq = []
+    for s in range(2):
+        sink = ArrayFrameSink()
+        vid2vid(config=cfg_seq, pipeline=base_pipe,
+                frame_source=ArrayFrameSource(frames_in[s * 4:(s + 1) * 4]),
+                frame_sink=sink)
+        seq.extend(sink.frames)
+
+    a = np.stack(sink_par.frames).astype(np.int32)
+    b = np.stack(seq).astype(np.int32)
+    assert np.abs(a - b).max() <= 1  # batched-program rounding only
+
+
+def test_segment_parallel_pads_and_trims_tail(base_pipe):
+    """When segment lengths don't divide evenly the last segment is padded
+    by repeating its final frame; the pad is trimmed on emit."""
+    cfg = base_cfg(parallel_segments=2, checkpoint_interval=0)
+    # T=18 -> per-segment 9 -> k=4 windows, seg_len=10, padded to 20, trim 2
+    frames_in = (np.random.RandomState(12).rand(18, 64, 64, 3) * 255).astype(np.uint8)
+    sink = ArrayFrameSink()
+    summary = vid2vid(
+        config=cfg, pipeline=base_pipe,
+        frame_source=ArrayFrameSource(frames_in), frame_sink=sink,
+    )
+    assert summary["frames_written"] == 18
+    assert len(sink.frames) == 18
+
+    # degenerate split: T=5 over S=4 leaves trailing segments that are pure
+    # pad — they must be skipped on emit, not crash np.stack([])
+    cfg4 = base_cfg(parallel_segments=4, checkpoint_interval=0)
+    frames_5 = (np.random.RandomState(16).rand(5, 64, 64, 3) * 255).astype(np.uint8)
+    sink5 = ArrayFrameSink()
+    s5 = vid2vid(config=cfg4, pipeline=base_pipe,
+                 frame_source=ArrayFrameSource(frames_5), frame_sink=sink5)
+    assert s5["frames_written"] == 5
+    assert len(sink5.frames) == 5
+
+
+def test_segment_parallel_rejects_unsupported_modes(base_pipe):
+    frames_in = (np.random.RandomState(13).rand(8, 64, 64, 3) * 255).astype(np.uint8)
+    for bad in (dict(save_frames=True), dict(resume=True)):
+        cfg = base_cfg(parallel_segments=2, **bad)
+        with pytest.raises(ValueError):
+            vid2vid(config=cfg, pipeline=base_pipe,
+                    frame_source=ArrayFrameSource(frames_in),
+                    frame_sink=ArrayFrameSink())
+    # txt2vid has a sequential dependency between windows
+    with pytest.raises(ValueError):
+        vid2vid(config=base_cfg(parallel_segments=2, total_frames=8),
+                pipeline=base_pipe, frame_source=None, frame_sink=ArrayFrameSink())
+
+
+@pytest.mark.slow
+def test_segment_parallel_sharded_equals_unsharded(eight_devices):
+    """Segment-parallel run with the segment axis sharded over a 4x2
+    data x context mesh must reproduce the single-device batched run
+    (uint8 output; GSPMD reduction reordering may flip at most 1 LSB).
+
+    Single-window geometry on purpose: with MULTIPLE chained windows each
+    window re-encodes the previous window's quantized uint8 output, so a
+    +-1 LSB flip amplifies through the diffusion chain and bit-equality is
+    unattainable for ANY backend-order change (measured max diff 27 after
+    3 windows) — the multi-window sharded case is covered as a counts +
+    finiteness smoke below."""
+    # T=14, S=4, F=4, ov=2 -> per-segment 4 -> k=1 window, seg_len 4,
+    # padded to 16, trim 2 on emit (pad+trim exercised under sharding)
+    frames_in = (np.random.RandomState(14).rand(14, 64, 64, 3) * 255).astype(np.uint8)
+
+    cfg = base_cfg(parallel_segments=4, checkpoint_interval=0)
+    pipe = tiny_pipeline(cfg)
+    sink_single = ArrayFrameSink()
+    s1 = vid2vid(config=cfg, pipeline=pipe,
+                 frame_source=ArrayFrameSource(frames_in), frame_sink=sink_single)
+
+    # the facade constructor builds the mesh + shards params from the config
+    cfg_m = cfg.replace(mesh_shape=(4, 2))
+    pipe_m = tiny_pipeline(cfg_m)
+    assert pipe_m.mesh is not None
+    sink_mesh = ArrayFrameSink()
+    s2 = vid2vid(config=cfg_m, pipeline=pipe_m,
+                 frame_source=ArrayFrameSource(frames_in), frame_sink=sink_mesh)
+
+    assert s1["frames_written"] == s2["frames_written"] == 14
+    assert s1["windows"] == s2["windows"] == 1
+    a = np.stack(sink_single.frames).astype(np.int32)
+    b = np.stack(sink_mesh.frames).astype(np.int32)
+    assert np.abs(a - b).max() <= 1
+
+    # multi-window sharded smoke: overlap carry + color match + blend chain
+    # across 3 lockstep windows on the mesh (equality is chaos-limited, see
+    # docstring) — counts and finiteness only
+    frames_28 = (np.random.RandomState(15).rand(28, 64, 64, 3) * 255).astype(np.uint8)
+    sink_multi = ArrayFrameSink()
+    s3 = vid2vid(config=cfg_m, pipeline=pipe_m,
+                 frame_source=ArrayFrameSource(frames_28), frame_sink=sink_multi)
+    assert s3["frames_written"] == 28 and s3["windows"] == 3
+    assert all(np.isfinite(np.asarray(f, np.float32)).all() for f in sink_multi.frames)
