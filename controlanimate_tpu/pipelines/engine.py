@@ -444,14 +444,17 @@ class AnimationEngine:
             #
             # 32-frame 512px windows need O(N)-memory attention: XLA's fused
             # form materializes the (B·F, H, N, N) logits (8.6GB — OOMs a
-            # 16GB v5e). The force_flash context applies at trace time, so
-            # the Euler/CFG 16-frame window (same attention SHAPE after CFG
-            # duplication, but a window that fits) keeps XLA's
-            # measured-faster form.
+            # 16GB v5e). The guard is on B·F, not F alone: segment-parallel
+            # runs (B = parallel_segments) hit the same wall at F=16, S>=2.
+            # The force_flash context applies at trace time, so the Euler/CFG
+            # 16-frame window (same attention SHAPE after CFG duplication,
+            # but a window that measured as fitting) keeps XLA's
+            # measured-faster form (B=1 there; CFG duplication is inside the
+            # UNet call and is deliberately not counted).
             from ..ops import attention as attn_mod
 
             big_window = (
-                latents.shape[1] >= 32
+                latents.shape[0] * latents.shape[1] >= 32
                 and latents.shape[2] * latents.shape[3] >= 64 * 64
             )
             with attn_mod.force_flash(big_window):

@@ -168,11 +168,17 @@ class ControlAnimatePipeline:
         if config.mesh_shape:
             from ..parallel.mesh import make_mesh, shard_params
 
+            # cast to the run dtype BEFORE sharding: shard_params returns
+            # committed jax.Arrays, which _commit_params passes through
+            # untouched — without this host-side cast, multi-chip runs would
+            # silently keep f32 weights (2x HBM residency + weight-read
+            # bandwidth per chip) while single-chip runs get the run dtype
             self.mesh = make_mesh(tuple(config.mesh_shape), tuple(config.mesh_axes))
-            self.models.unet_params = shard_params(self.mesh, self.models.unet_params)
-            self.models.vae_params = shard_params(self.mesh, self.models.vae_params)
+            cast = self._cast_tree_host
+            self.models.unet_params = shard_params(self.mesh, cast(self.models.unet_params))
+            self.models.vae_params = shard_params(self.mesh, cast(self.models.vae_params))
             self.models.controlnet_params = [
-                shard_params(self.mesh, p) for p in self.models.controlnet_params
+                shard_params(self.mesh, cast(p)) for p in self.models.controlnet_params
             ]
 
         # Commit every param tree to device ONCE. The disk loaders
@@ -186,6 +192,32 @@ class ControlAnimatePipeline:
         # matmuls read them in compute dtype anyway, and the cast halves both
         # the one-time upload and HBM residency.
         self._commit_params()
+
+    def _cast_tree_host(self, tree):
+        """Cast host float leaves to the run dtype (leaves already committed
+        to device — e.g. engine-built test fixtures — pass through)."""
+        dtype = self.dtype
+        if dtype == jnp.float32:
+            return tree
+
+        def cast_leaf(x):
+            if isinstance(x, jax.Array):
+                return x
+            a = np.asarray(x)
+            if a.dtype in (np.float32, np.float64):
+                a = a.astype(dtype)
+            return a
+
+        return jax.tree_util.tree_map(cast_leaf, tree)
+
+    @staticmethod
+    def _pick_decode_chunk(total_frames: int, pixels: int) -> int:
+        """Chunk size for the VAE decode: 0 (one shot) while the total frame
+        count fits v5e HBM, else the largest divisor of the total <= 24."""
+        if total_frames < 32 or pixels < 512 * 512:
+            return 0
+        return next(c for c in range(min(24, total_frames), 0, -1)
+                    if total_frames % c == 0)
 
     # ---------------------------------------------------------- param commit
     def _commit_params(self):
@@ -485,11 +517,12 @@ class ControlAnimatePipeline:
             if last_output_frames is not None and len(last_output_frames):
                 if batched:
                     # per-segment anchor frame (reference anchors on
-                    # last_output_frames[0], vid2vid.py:199-212)
-                    anchors = np.asarray(last_output_frames)[:, 0]
-                    pairs = [self.ip_adapter.embed_image(a) for a in anchors]
-                    img_e = jnp.concatenate([p[0] for p in pairs], axis=0)
-                    img_u = jnp.concatenate([p[1] for p in pairs], axis=0)
+                    # last_output_frames[0], vid2vid.py:199-212); slice on
+                    # device BEFORE the host fetch (the CLIP cv2 resize needs
+                    # host pixels, but only S frames — not the (S, K, H, W, 3)
+                    # stack), then ONE batched vision-tower dispatch
+                    anchors = np.asarray(last_output_frames[:, 0])
+                    img_e, img_u = self.ip_adapter.embed_images(anchors)
                 else:
                     img_e, img_u = self.ip_adapter.embed_image(last_output_frames[0])
             else:
@@ -536,11 +569,15 @@ class ControlAnimatePipeline:
             height=cfg.height,
             width=cfg.width,
             output_uint8=True,
-            # 32-frame windows overflow v5e HBM in the whole-window decoder;
-            # chunked decode (frames are independent) bounds the peak
-            decode_chunk=16 if (
-                window_frames >= 32 and cfg.height * cfg.width >= 512 * 512
-            ) else 0,
+            # >=32 decoded frames overflow v5e HBM in the whole-window
+            # decoder; chunked decode (frames are independent) bounds the
+            # peak. The budget counts the TOTAL B*F frames (segment-parallel
+            # runs decode S windows at once), and the chunk must divide it
+            # (engine._decode_latents falls back to one shot otherwise) —
+            # largest divisor <=24 (a 24-frame 512px decode is measured fine)
+            decode_chunk=self._pick_decode_chunk(
+                window_frames * max(S, 1), cfg.height * cfg.width
+            ),
             tail_latents=cfg.overlap_length if reuse else 0,
         )
 

@@ -380,6 +380,33 @@ class IPAdapter:
             uncond = self.project(jnp.zeros_like(out["image_embeds"]))
         return cond, uncond
 
+    def embed_images(self, frames: np.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Batched anchor embed: uint8 (S, H, W, 3) -> (cond, uncond), each
+        (S, num_tokens, 768). One vision-tower dispatch for all S anchors
+        (segment-parallel vid2vid; a per-anchor Python loop would pay the
+        dispatch floor S times per window). The uncond tokens are
+        anchor-independent, so they compute once and broadcast."""
+        if self.vision_model is None:
+            raise RuntimeError("IPAdapter built without a vision tower")
+        frames = np.asarray(frames, np.uint8)
+        px = jnp.concatenate(
+            [jnp.asarray(preprocess_clip_image(f)) for f in frames], axis=0
+        )
+        out = self.vision_model.apply({"params": self.vision_params}, px)
+        S = px.shape[0]
+        if self.embed_source == "penultimate":
+            cond = self.project(out["penultimate_hidden_states"])
+            if self._uncond_cache is None:
+                zero_out = self.vision_model.apply(
+                    {"params": self.vision_params}, jnp.zeros_like(px[:1])
+                )
+                self._uncond_cache = self.project(zero_out["penultimate_hidden_states"])
+            uncond = self._uncond_cache
+        else:
+            cond = self.project(out["image_embeds"])
+            uncond = self.project(jnp.zeros_like(out["image_embeds"][:1]))
+        return cond, jnp.broadcast_to(uncond, (S, *uncond.shape[1:]))
+
     # -------------------------------------------------------- UNet injection
     def attn2_paths_in_checkpoint_order(self, ucfg) -> list[str]:
         """Canonical enumeration of cross-attention modules matching the

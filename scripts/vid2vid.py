@@ -404,11 +404,22 @@ def vid2vid(
                     frame_sink.write(fr)
                 return []
             host_rgb = list(np.asarray(frames_dev))
+        if sink_pix_fmt == "yuv420p":
+            # host-upscale fallback behind a yuv420p sink (e.g. upscale 4.0
+            # with no local RRDB weights): pack to I420 — raw RGB bytes would
+            # misalign every subsequent frame in the stream
+            buf = np.asarray(rgb_to_yuv420(jnp.asarray(
+                np.stack([np.asarray(f, np.uint8) for f in host_rgb])
+            )))
+            for fr in buf:
+                frame_sink.write(fr)
+            return host_rgb
         for fr in host_rgb:
             frame_sink.write(np.asarray(fr, np.uint8))
         return host_rgb
 
     windows_run = 0
+    source_exhausted = False
     pending_emit = None  # (packed_dev, to_yuv, start_idx, input_frames_for_dump)
 
     def _flush_emit():
@@ -468,6 +479,7 @@ def vid2vid(
         else:
             new_frames = []
         if frame_source is not None and not new_frames:
+            source_exhausted = True
             break
         if frame_source is None and max_windows is None and windows_run >= 1:
             # txt2vid: keep generating overlap-stitched windows until the
@@ -576,16 +588,22 @@ def vid2vid(
         windows_run += 1
 
     # flush the last window's deferred emit; on an interrupted run (bounded
-    # by max_windows) save a final post-flush checkpoint so resume restarts
-    # exactly at the first unemitted window
+    # by max_windows, input remaining) save a final post-flush checkpoint so
+    # resume restarts exactly at the first unemitted window
     _flush_emit()
-    interrupted = max_windows is not None and windows_run >= max_windows
+    interrupted = (
+        max_windows is not None and windows_run >= max_windows
+        and not source_exhausted
+    )
     if ckpt_executor is not None and interrupted:
         _submit_checkpoint(
             _snapshot_state(state, nonlocal_consumed[0], frames_written, segment)
         )
-    # then the pending tail overlap frames (generated, not yet emitted)
-    if state.overlap_frames is not None and state.overlap_length:
+    # then the pending tail overlap frames (generated, not yet emitted) — but
+    # NOT on an interrupted run: the resumed first window re-emits those same
+    # timeline positions (blended), so emitting them here would duplicate
+    # overlap_length frames at every resume splice in the segment concat
+    if not interrupted and state.overlap_frames is not None and state.overlap_length:
         _emit(jnp.asarray(state.overlap_frames))
         frames_written += state.overlap_length
 
@@ -677,6 +695,14 @@ def _run_segments(
     S = int(cfg.parallel_segments)
     F, ov = cfg.frame_count, cfg.overlap_length
     novel = F - ov if ov > 0 else F
+    if novel <= 0:
+        # the sequential loop tolerates overlap >= frame_count by reading 0
+        # new frames and stopping; the segment window-count math divides by
+        # `novel`, so fail loudly instead of ZeroDivisionError
+        raise ValueError(
+            f"parallel_segments requires overlap_length < frame_count "
+            f"(got overlap_length={ov}, frame_count={F})"
+        )
     timers = PhaseTimers()
 
     # ---- drain the source and lay out segments ----
@@ -775,6 +801,10 @@ def _run_segments(
                     staged, last_out, overlaps=overlaps_cur, strength=strength,
                     seed=seed, epoch=w, segments=S, **cond_kw,
                 )
+                # window 0 color-matches against the baseline pass's first
+                # frame, exactly like the sequential path (state.
+                # last_output_frame = out[0] between the two passes)
+                anchor = out[:, 0]
                 anchors = out[:, -ov:] if ov > 0 else out[:, -1:]
                 out = pipeline.animate_async(
                     staged, anchors, overlaps=int(anchors.shape[1]),
@@ -816,6 +846,21 @@ def _run_segments(
 
     # ---- ordered write: segment 0's frames first, pad trimmed ----
     frames_written = 0
+    need_yuv = sink_pix_fmt == "yuv420p"  # sink expects I420 regardless of path
+    device_upscale_ok = True  # flip off after the first device-path failure
+
+    def _write_rgb(rgb_frames) -> None:
+        """Write RGB frames (host or device array) honoring the sink format:
+        a yuv420p sink gets the device RGB->I420 pack the sequential _emit
+        uses; an rgb24 sink gets raw bytes."""
+        if need_yuv:
+            buf = np.asarray(rgb_to_yuv420(jnp.asarray(rgb_frames, jnp.uint8)))
+            for fr in buf:
+                frame_sink.write(fr)
+        else:
+            for fr in np.asarray(rgb_frames):
+                frame_sink.write(np.asarray(fr, np.uint8))
+
     with timers.phase("upscale_and_emit"):
         for s in range(S):
             if frames_written >= emit_real:
@@ -825,25 +870,32 @@ def _run_segments(
             budget = min(len(out_frames), emit_real - frames_written)
             out_frames = out_frames[:budget]
             if to_yuv:
+                # frames were packed to I420 on device inside the stitch
                 for fr in out_frames:
                     frame_sink.write(fr)
-            else:
-                if upscaler is not None:
-                    try:
-                        up = np.asarray(
-                            upscaler.upscale_batch_device(jnp.asarray(out_frames))
-                        )
-                        out_frames = up
-                    except (ValueError, AttributeError):
-                        out_frames = np.stack(_upscale_frames(
-                            out_frames, upscaler, upscale, out_w, out_h
+            elif upscaler is not None:
+                # upscale in window-sized chunks (the sequential path never
+                # stages more than one window's frames through the RRDB net;
+                # a whole segment at once OOMs HBM on long videos)
+                for i in range(0, budget, F):
+                    chunk = out_frames[i: i + F]
+                    up = None
+                    if device_upscale_ok:
+                        try:
+                            up = upscaler.upscale_batch_device(jnp.asarray(chunk))
+                        except Exception:
+                            device_upscale_ok = False  # incl. XlaRuntimeError
+                    if up is None:
+                        up = np.stack(_upscale_frames(
+                            chunk, upscaler, upscale, out_w, out_h
                         ))
-                elif upscale > 1.0:
-                    out_frames = np.stack(_upscale_frames(
-                        out_frames, None, upscale, out_w, out_h
-                    ))
-                for fr in out_frames:
-                    frame_sink.write(np.asarray(fr, np.uint8))
+                    _write_rgb(up)
+            elif upscale > 1.0:
+                _write_rgb(np.stack(_upscale_frames(
+                    out_frames, None, upscale, out_w, out_h
+                )))
+            else:
+                _write_rgb(out_frames)
             frames_written += budget
 
     return {

@@ -38,8 +38,9 @@ def test_new_profiles_parse():
     assert t2v.total_frames == 48 and t2v.input_video_path == ""
     mesh = RunConfig.from_yaml(ROOT / "configs/prompts/SampleConfigMultiChip.yaml")
     assert mesh.extras == {}
-    assert tuple(mesh.mesh_shape) == (1, 8)
+    assert tuple(mesh.mesh_shape) == (4, 2)
     assert tuple(mesh.mesh_axes) == ("data", "context")
+    assert mesh.parallel_segments == 4
 
 
 def test_ipadapter_profile_flags():

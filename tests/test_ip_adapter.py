@@ -350,3 +350,34 @@ def test_ip_scale_zero_matches_text_only():
     out_ip = unet_ip.apply({"params": params_ip}, x, jnp.asarray([5]), ctx_full, ip_scale=0.0)
     out_plain = unet_plain.apply({"params": params_plain}, x, jnp.asarray([5]), text)
     np.testing.assert_allclose(np.asarray(out_ip), np.asarray(out_plain), atol=1e-5)
+
+
+def test_embed_images_matches_per_frame_loop():
+    """Batched anchor embed (segment-parallel: one vision-tower dispatch for
+    all S anchors) == per-frame embed_image, for both uncond sources."""
+    from controlanimate_tpu.models.clip import (
+        CLIPVisionConfig,
+        CLIPVisionModelWithProjection,
+    )
+
+    vcfg = CLIPVisionConfig(
+        hidden_size=16, num_layers=2, num_heads=2, intermediate_size=32,
+        image_size=224, patch_size=32, projection_dim=12,
+    )
+    vm = CLIPVisionModelWithProjection(vcfg)
+    vparams = vm.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))["params"]
+    proj = ImageProjModel(cross_attention_dim=16, num_tokens=4)
+    pparams = proj.init(jax.random.PRNGKey(1), jnp.zeros((1, 12)))["params"]
+    adapter = IPAdapter(vm, vparams, proj, pparams, num_tokens=4)
+
+    frames = (np.random.RandomState(7).rand(3, 64, 48, 3) * 255).astype(np.uint8)
+    cond_b, uncond_b = adapter.embed_images(frames)
+    assert cond_b.shape == (3, 4, 16) and uncond_b.shape == (3, 4, 16)
+    for s in range(3):
+        cond_1, uncond_1 = adapter.embed_image(frames[s])
+        np.testing.assert_allclose(
+            np.asarray(cond_b[s]), np.asarray(cond_1[0]), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(uncond_b[s]), np.asarray(uncond_1[0]), atol=1e-5
+        )

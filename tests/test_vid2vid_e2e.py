@@ -170,9 +170,12 @@ def test_resume_mid_video(base_pipe, tmp_path):
         frame_source=ArrayFrameSource(frames_in), frame_sink=s1, max_windows=2,
     )
     assert (tmp_path / "stitch_state.npz").exists()
-    # 2 windows: emitted 2+2, tail flush adds 2 more (interrupted mid-video
-    # still flushes its pending tail so the partial output is watchable)
+    # 2 windows emit 2 novel frames each; the pending tail overlap is NOT
+    # flushed on an interrupted run — the resumed first window re-emits those
+    # timeline positions (blended), so flushing here would duplicate them at
+    # the resume splice
     assert partial["windows"] == 2
+    assert partial["frames_written"] == 4
 
     cfg2 = cfg.replace(resume=True)
     s2 = ArrayFrameSink()
@@ -181,8 +184,9 @@ def test_resume_mid_video(base_pipe, tmp_path):
         frame_source=ArrayFrameSource(frames_in), frame_sink=s2,
     )
     assert resumed["windows"] == 2  # the remaining 2 windows
-    # total unique frames across both runs covers the whole stream
-    assert partial["frames_written"] + len(s2.frames) >= 10
+    # both runs together cover the whole 10-frame stream EXACTLY once
+    # (4 + 2·2 novel + 2 tail): no duplicated positions at the splice
+    assert partial["frames_written"] + len(s2.frames) == 10
 
 
 @pytest.mark.slow
@@ -411,6 +415,88 @@ def test_segment_parallel_rejects_unsupported_modes(base_pipe):
     with pytest.raises(ValueError):
         vid2vid(config=base_cfg(parallel_segments=2, total_frames=8),
                 pipeline=base_pipe, frame_source=None, frame_sink=ArrayFrameSink())
+    # overlap >= frame_count: the sequential loop degenerates gracefully, but
+    # the segment window-count math would divide by zero — fail loudly
+    with pytest.raises(ValueError, match="overlap_length"):
+        vid2vid(config=base_cfg(parallel_segments=2, overlap_length=4),
+                pipeline=base_pipe, frame_source=ArrayFrameSource(frames_in),
+                frame_sink=ArrayFrameSink())
+
+
+class _YuvArraySink(ArrayFrameSink):
+    pix_fmt = "yuv420p"
+
+
+class _Nearest4xUpscaler:
+    """Deterministic stand-in for the RealESRGAN device path."""
+
+    def upscale_batch_device(self, frames):
+        import jax.numpy as jnp
+        f = jnp.asarray(frames)
+        return jnp.repeat(jnp.repeat(f, 4, axis=1), 4, axis=2)
+
+
+def test_segment_parallel_upscale_packs_yuv_sink(base_pipe):
+    """Upscaled RGB behind a yuv420p sink must be packed to I420 before the
+    write — raw RGB bytes are 2x an I420 frame, so every subsequent frame in
+    the stream would misalign (found in r3 review). Byte-for-byte: the yuv
+    run's frames equal rgb_to_yuv420 of the rgb24 run's frames."""
+    from controlanimate_tpu.ops.yuv import rgb_to_yuv420
+
+    frames_in = (np.random.RandomState(19).rand(8, 64, 64, 3) * 255).astype(np.uint8)
+    cfg = base_cfg(parallel_segments=2, checkpoint_interval=0, upscale=4.0)
+
+    rgb_sink = ArrayFrameSink()  # no pix_fmt attr -> rgb24 path
+    vid2vid(config=cfg, pipeline=base_pipe,
+            frame_source=ArrayFrameSource(frames_in), frame_sink=rgb_sink,
+            upscaler=_Nearest4xUpscaler())
+    assert len(rgb_sink.frames) == 8
+    assert rgb_sink.frames[0].shape == (256, 256, 3)
+
+    yuv_sink = _YuvArraySink()
+    summary = vid2vid(config=cfg, pipeline=base_pipe,
+                      frame_source=ArrayFrameSource(frames_in), frame_sink=yuv_sink,
+                      upscaler=_Nearest4xUpscaler())
+    assert summary["frames_written"] == 8
+    assert len(yuv_sink.frames) == 8
+    for fr in yuv_sink.frames:
+        assert fr.size == 256 * 256 * 3 // 2  # planar I420 at the 4x size
+    expect = np.asarray(rgb_to_yuv420(np.stack(rgb_sink.frames)))
+    np.testing.assert_array_equal(np.stack(yuv_sink.frames), expect)
+
+
+def test_sequential_host_upscale_packs_yuv_sink(base_pipe):
+    """The sequential _emit host-upscale fallback (upscale 4.0, no RRDB
+    weights -> upscaler None) behind a yuv420p sink must pack to I420 too."""
+    frames_in = (np.random.RandomState(23).rand(4, 64, 64, 3) * 255).astype(np.uint8)
+    cfg = base_cfg(checkpoint_interval=0, upscale=4.0)
+    sink = _YuvArraySink()
+    summary = vid2vid(config=cfg, pipeline=base_pipe,
+                      frame_source=ArrayFrameSource(frames_in), frame_sink=sink,
+                      upscaler=None)
+    assert summary["frames_written"] == 4
+    for fr in sink.frames:
+        assert fr.size == 256 * 256 * 3 // 2
+
+
+def test_pick_decode_chunk_accounts_for_segments():
+    """The VAE-decode HBM guard counts TOTAL B*F frames and must return a
+    divisor of the total (engine falls back to one shot otherwise)."""
+    from controlanimate_tpu.pipelines.facade import ControlAnimatePipeline
+
+    pick = ControlAnimatePipeline._pick_decode_chunk
+    px = 512 * 512
+    assert pick(16, px) == 0          # single window, fits whole
+    assert pick(24, px) == 0          # measured fine un-chunked
+    assert pick(32, px) == 16         # F=32 single segment
+    assert pick(48, px) == 24         # F=24, S=2
+    assert pick(64, px) == 16         # F=16, S=4
+    assert pick(72, px) == 24         # F=24, S=3
+    assert pick(40, px) == 20         # F=20, S=2 -> divisor, not 24
+    assert pick(64, 64 * 64) == 0     # small frames never need chunking
+    for total in (32, 40, 48, 64, 72, 96, 100):
+        c = pick(total, px)
+        assert c and total % c == 0 and c <= 24
 
 
 @pytest.mark.slow
@@ -458,3 +544,37 @@ def test_segment_parallel_sharded_equals_unsharded(eight_devices):
                  frame_source=ArrayFrameSource(frames_28), frame_sink=sink_multi)
     assert s3["frames_written"] == 28 and s3["windows"] == 3
     assert all(np.isfinite(np.asarray(f, np.float32)).all() for f in sink_multi.frames)
+
+
+def test_mesh_params_cast_to_run_dtype(eight_devices):
+    """Mesh-sharded param trees must get the same run-dtype cast as the
+    single-chip commit path: shard_params returns committed jax.Arrays,
+    which _commit_params passes through — without the host-side cast before
+    sharding, multi-chip runs silently kept f32 weights (r3 review)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from controlanimate_tpu.pipelines.facade import ControlAnimatePipeline
+
+    donor = tiny_pipeline(base_cfg())
+    to_host = lambda tree: jax.tree_util.tree_map(
+        lambda x: np.asarray(x, np.float32), tree
+    )
+    host_models = dataclasses.replace(
+        donor.models,
+        unet_params=to_host(donor.models.unet_params),
+        vae_params=to_host(donor.models.vae_params),
+        controlnet_params=[to_host(p) for p in donor.models.controlnet_params],
+    )
+    cfg_m = base_cfg(mesh_shape=(4, 2))  # dtype defaults to bfloat16
+    pipe_m = ControlAnimatePipeline(cfg_m, models=host_models, text_stack=donor.text)
+    assert pipe_m.mesh is not None
+    for tree in (pipe_m.models.unet_params, pipe_m.models.vae_params):
+        leaves = jax.tree_util.tree_leaves(tree)
+        assert all(
+            l.dtype == jnp.bfloat16 for l in leaves if jnp.issubdtype(l.dtype, jnp.floating)
+        )
+        # and they are committed across the mesh, not host arrays
+        assert all(isinstance(l, jax.Array) for l in leaves)
