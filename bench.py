@@ -188,8 +188,29 @@ def measure_overlap8(pipeline, frames=24, size=512, windows=8) -> float:
     return fps
 
 
+def _claim_device(attempts: int = 2, cooldown_s: int = 120):
+    """jax.devices() with ONE bounded retry: the axon pool claim can block
+    ~25 min and then raise UNAVAILABLE when no chip is free (seen 8/18); on
+    a transient outage a retry saves the whole bench artifact from being a
+    traceback. Bounded so a hard outage still fails within ~1h."""
+    for i in range(attempts):
+        try:
+            return jax.devices()[0]
+        except RuntimeError as e:
+            if i == attempts - 1:
+                raise
+            log(f"device claim failed ({e}); retrying in {cooldown_s}s")
+            try:
+                from jax._src import xla_bridge as _xb
+
+                _xb._clear_backends()  # drop the cached init failure
+            except Exception:
+                pass
+            time.sleep(cooldown_s)
+
+
 def main(frames: int = 16, size: int = 512, steps: int = 4, iters: int = 16):
-    dev = jax.devices()[0]
+    dev = _claim_device()
     log(f"device: {dev}")
 
     cfg = RunConfig(
