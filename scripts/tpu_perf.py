@@ -289,6 +289,58 @@ def bench_e2e_loop():
             f"(16f windows emitting 8 novel frames each after window 0)")
 
 
+def bench_segments():
+    """Segment-parallel aggregate throughput on ONE chip: S video segments
+    generated lockstep as one batched window program vs the sequential run
+    over the same total frames. Wins come from dispatch/stitch amortization
+    (~50ms/window overhead paid once for S segments) plus any MXU batch
+    efficiency; the same batch axis shards over `data` on a mesh.
+
+    NOTE S=2 at F=24 puts B*F=48 >= 32 on the denoise (flash-attn HBM rule
+    kicks in; measured a wash at F=24 geometry) and chunks the decode at 24
+    frames. The VAE *encode* in prepare runs all S*F frames unchunked —
+    watch for RESOURCE_EXHAUSTED at S>=3."""
+    import tempfile
+
+    import numpy as np
+
+    import bench
+    from controlanimate_tpu.io.media import ArrayFrameSink, ArrayFrameSource
+    from scripts.vid2vid import vid2vid
+
+    F, ov, k = 24, 8, 3
+    novel = F - ov
+    per_seg = F + (k - 1) * novel  # 56 frames, 3 windows per segment
+    base = bench.RunConfig(
+        width=512, height=512, frame_count=F, overlap_length=ov,
+        use_lcm=True, steps=4, guidance_scale=7.5, strength=0.9,
+        overlap_strength=0.9, lcm_origin_steps=50, prompt="a cat", n_prompt="",
+        seed=7, dtype="bfloat16", output_video_dir="/tmp/segbench",
+        checkpoint_interval=0,
+    )
+    pipeline = bench.build_pipeline(base)
+    for S in (1, 2):
+        total = per_seg * S
+        rng = np.random.RandomState(0)
+        frames_in = (rng.rand(total, 512, 512, 3) * 255).astype(np.uint8)
+        with tempfile.TemporaryDirectory() as td:
+            cfg = base.replace(
+                output_video_dir=td,
+                parallel_segments=S if S > 1 else 0,
+            )
+            for tag in ("cold", "warm"):
+                sink = ArrayFrameSink()
+                t0 = time.time()
+                s = vid2vid(config=cfg, pipeline=pipeline,
+                            frame_source=ArrayFrameSource(frames_in),
+                            frame_sink=sink)
+                wall = time.time() - t0
+                log(f"segments S={S} {tag}: {s['frames_written']} frames / "
+                    f"{s['windows']} windows in {wall:.1f}s -> "
+                    f"{s['frames_written'] / wall:.2f} aggregate emitted fps")
+                assert s["frames_written"] == total, s
+
+
 def bench_euler():
     """The reference's default profile (SampleConfig: 30-step Euler, CFG
     7.5, strength 1.0) through the engine programs — documents the measured
@@ -1078,6 +1130,8 @@ if __name__ == "__main__":
         bench_euler()
     if "e2e" in which:
         bench_e2e_loop()
+    if "segments" in which:
+        bench_segments()
     if which & {"bigwin", "bigwin24", "bigwin32"}:
         bench_bigwin()
     if "programs24" in which:
