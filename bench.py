@@ -39,13 +39,15 @@ def _seed_cache():
         with tarfile.open(CACHE_SEED, "r:gz") as tf:
             tf.extractall(CACHE_DIR)
         print(
-            f"seeded compile cache from {CACHE_SEED.name}: every heavy "
-            "program below is a cache HIT (validated: zero new cache "
-            "entries on a fresh checkout). Note the remote-attach TPU "
-            "tunnel adds a session-start warmup to the FIRST program "
-            "loads that varies from ~50s to several minutes depending on "
-            "adjacency to the previous session; later loads in the same "
-            "session run at full speed.",
+            f"seeded compile cache from {CACHE_SEED.name}; the first-window "
+            "cache-miss count printed below is the ground truth for how "
+            "much of the seed still matches the current programs (0 misses "
+            "= fully warm; any code change to a program's jaxpr invalidates "
+            "its entry). Note the remote-attach TPU tunnel adds a "
+            "session-start warmup to the FIRST program loads that varies "
+            "from ~50s to several minutes depending on adjacency to the "
+            "previous session; later loads in the same session run at full "
+            "speed.",
             file=sys.stderr,
         )
 

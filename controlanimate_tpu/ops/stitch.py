@@ -47,26 +47,15 @@ def _stitch_window_batch_impl(frames, anchor, prev_overlap, overlap_length, to_y
     frames: (S, F, H, W, 3) uint8 — one window per segment, lockstep;
     anchor: (S, H, W, 3) or None; prev_overlap: (S, K, H, W, 3) or None.
     Returns (emitted_packed, new_anchor, last_output_frames, overlap_tail),
-    each with a leading segment axis. Per-segment semantics are identical to
-    _stitch_window_impl (segments never mix — color match and blending are
-    vmapped over the segment axis)."""
-    if anchor is not None:
-        frames = jax.vmap(match_colors_u8)(frames, anchor)
-    new_anchor = frames[:, max(overlap_length - 1, -1)]
-    last_out = frames[:, -overlap_length:] if overlap_length > 0 else None
-    if prev_overlap is not None and prev_overlap.shape[1] > 0:
-        K = prev_overlap.shape[1]
-        head = jax.vmap(blend_overlap_u8)(frames[:, :K], prev_overlap)
-        frames = jnp.concatenate([head, frames[:, K:]], axis=1)
-    tail = frames[:, -overlap_length:] if overlap_length > 0 else None
-    emitted = frames[:, :emit]
-    if to_yuv:
-        S, E = emitted.shape[:2]
-        packed = rgb_to_yuv420(emitted.reshape(S * E, *emitted.shape[2:]))
-        packed = packed.reshape(S, E, -1)
-    else:
-        packed = emitted
-    return packed, new_anchor, last_out, tail
+    each with a leading segment axis. Per-segment semantics are identical BY
+    CONSTRUCTION: this is the per-window impl vmapped over the segment axis
+    (one source of truth — the exact property
+    test_segment_parallel_matches_sequential_per_segment depends on)."""
+
+    def body(f, a, p):
+        return _stitch_window_impl(f, a, p, overlap_length, to_yuv, emit)
+
+    return jax.vmap(body)(frames, anchor, prev_overlap)
 
 
 stitch_window_batch = jax.jit(

@@ -457,7 +457,16 @@ class AnimationEngine:
                 latents.shape[0] * latents.shape[1] >= 32
                 and latents.shape[2] * latents.shape[3] >= 64 * 64
             )
-            with attn_mod.force_flash(big_window):
+            # only ENTER the context when forcing: force_flash(False) would
+            # overwrite an outer force_flash(True) (e.g. a measurement
+            # harness A/B-ing the kernels) for the whole scan trace
+            import contextlib
+
+            flash_ctx = (
+                attn_mod.force_flash(True) if big_window
+                else contextlib.nullcontext()
+            )
+            with flash_ctx:
                 (latents, _), _ = jax.lax.scan(
                     body, (latents, state0), jnp.arange(sched.num_steps)
                 )

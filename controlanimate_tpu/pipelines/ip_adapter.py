@@ -358,34 +358,20 @@ class IPAdapter:
 
     def embed_image(self, frame: np.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         """anchor frame uint8 (H, W, 3) -> (cond_tokens, uncond_tokens), each
-        (1, num_tokens, 768).
-
-        base: uncond = projection of zero EMBEDS (reference ip_adapter.py:197);
-        plus/full: uncond = projection of the penultimate states of a zero
-        IMAGE (reference ip_adapter.py:377-380)."""
-        if self.vision_model is None:
-            raise RuntimeError("IPAdapter built without a vision tower")
-        px = jnp.asarray(preprocess_clip_image(frame))
-        out = self.vision_model.apply({"params": self.vision_params}, px)
-        if self.embed_source == "penultimate":
-            cond = self.project(out["penultimate_hidden_states"])
-            if self._uncond_cache is None:
-                zero_out = self.vision_model.apply(
-                    {"params": self.vision_params}, jnp.zeros_like(px)
-                )
-                self._uncond_cache = self.project(zero_out["penultimate_hidden_states"])
-            uncond = self._uncond_cache
-        else:
-            cond = self.project(out["image_embeds"])
-            uncond = self.project(jnp.zeros_like(out["image_embeds"]))
-        return cond, uncond
+        (1, num_tokens, 768). Single-frame view of `embed_images` (one source
+        of truth for the cond/uncond semantics)."""
+        return self.embed_images(np.asarray(frame)[None])
 
     def embed_images(self, frames: np.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Batched anchor embed: uint8 (S, H, W, 3) -> (cond, uncond), each
         (S, num_tokens, 768). One vision-tower dispatch for all S anchors
         (segment-parallel vid2vid; a per-anchor Python loop would pay the
-        dispatch floor S times per window). The uncond tokens are
-        anchor-independent, so they compute once and broadcast."""
+        dispatch floor S times per window).
+
+        base: uncond = projection of zero EMBEDS (reference ip_adapter.py:197);
+        plus/full: uncond = projection of the penultimate states of a zero
+        IMAGE (reference ip_adapter.py:377-380). Both are anchor-independent,
+        so they compute once, cache, and broadcast."""
         if self.vision_model is None:
             raise RuntimeError("IPAdapter built without a vision tower")
         frames = np.asarray(frames, np.uint8)
@@ -401,10 +387,13 @@ class IPAdapter:
                     {"params": self.vision_params}, jnp.zeros_like(px[:1])
                 )
                 self._uncond_cache = self.project(zero_out["penultimate_hidden_states"])
-            uncond = self._uncond_cache
         else:
             cond = self.project(out["image_embeds"])
-            uncond = self.project(jnp.zeros_like(out["image_embeds"][:1]))
+            if self._uncond_cache is None:
+                self._uncond_cache = self.project(
+                    jnp.zeros_like(out["image_embeds"][:1])
+                )
+        uncond = self._uncond_cache
         return cond, jnp.broadcast_to(uncond, (S, *uncond.shape[1:]))
 
     # -------------------------------------------------------- UNet injection

@@ -358,12 +358,14 @@ def vid2vid(
 
         ckpt_executor = ThreadPoolExecutor(max_workers=1, thread_name_prefix="ckpt")
 
+    ckpt_futures: list = []
+
     def _submit_checkpoint(snap: dict):
         def run():
             with timers.phase("checkpoint"):
                 _save_state(out_dir, snap)
 
-        ckpt_executor.submit(run)
+        ckpt_futures.append(ckpt_executor.submit(run))
 
     def _prefetch(tail_inputs: list, next_epoch: int):
         new = read_n(window - len(tail_inputs))
@@ -595,15 +597,19 @@ def vid2vid(
         max_windows is not None and windows_run >= max_windows
         and not source_exhausted
     )
-    if ckpt_executor is not None and interrupted:
+    # the run is resumable only if a checkpoint records where to restart;
+    # with checkpointing disabled an interrupted run must still emit its
+    # tail — withholding it would lose the frames with nothing to resume from
+    resumable = interrupted and ckpt_executor is not None
+    if resumable:
         _submit_checkpoint(
             _snapshot_state(state, nonlocal_consumed[0], frames_written, segment)
         )
     # then the pending tail overlap frames (generated, not yet emitted) — but
-    # NOT on an interrupted run: the resumed first window re-emits those same
+    # NOT on a resumable run: the resumed first window re-emits those same
     # timeline positions (blended), so emitting them here would duplicate
     # overlap_length frames at every resume splice in the segment concat
-    if not interrupted and state.overlap_frames is not None and state.overlap_length:
+    if not resumable and state.overlap_frames is not None and state.overlap_length:
         _emit(jnp.asarray(state.overlap_frames))
         frames_written += state.overlap_length
 
@@ -612,9 +618,22 @@ def vid2vid(
         executor.shutdown(wait=True)
     if ckpt_executor is not None:
         ckpt_executor.shutdown(wait=True)
-        if not interrupted:
-            # natural completion: nothing left to resume
-            (out_dir / STATE_FILE).unlink(missing_ok=True)
+        # surface checkpoint-write failures (disk full, bad perms): resume
+        # correctness depends on the final snapshot, so a failed resumable
+        # checkpoint is an error; mid-run failures get a loud warning
+        errs = [f.exception() for f in ckpt_futures if f.exception() is not None]
+        if errs and resumable and ckpt_futures[-1].exception() is not None:
+            raise RuntimeError(
+                "final resume checkpoint failed to save; the interrupted run "
+                "cannot be resumed"
+            ) from ckpt_futures[-1].exception()
+        for e in errs:
+            print(f"WARNING: checkpoint save failed: {e!r}", file=sys.stderr)
+    if not interrupted:
+        # natural completion: nothing left to resume — clear any stale state
+        # file (possibly left by an earlier interrupted run in this out_dir,
+        # even when this run had checkpointing disabled)
+        (out_dir / STATE_FILE).unlink(missing_ok=True)
     if own_sink:
         frame_sink.close()
     if own_source and frame_source is not None:
@@ -720,20 +739,20 @@ def _run_segments(
 
     per_seg = -(-T // S)  # ceil
     k = 1 if per_seg <= F else 1 + -(-(per_seg - F) // novel)
-    if max_windows is not None:
-        k = min(k, max_windows)
+    # segment boundaries are fixed by the FULL input split — k is bounded
+    # only afterwards, so a max_windows debug run previews the same
+    # per-segment content as the real run (each segment is its own stream)
     seg_len = F + (k - 1) * novel
     padded_total = S * seg_len
     arr = np.stack(frames)
     del frames
-    if padded_total <= T:
-        arr = arr[:padded_total]  # max_windows truncation (sequential parity)
-    else:
+    if padded_total > T:
         arr = np.concatenate(
             [arr, np.repeat(arr[-1:], padded_total - T, axis=0)]
         )
     segs = arr.reshape(S, seg_len, *arr.shape[1:])
-    emit_real = min(T, padded_total)
+    if max_windows is not None:
+        k = min(k, max_windows)
 
     to_yuv = sink_pix_fmt == "yuv420p" and upscaler is None and upscale <= 1.0
     stitch = stitch_window_batch
@@ -863,11 +882,15 @@ def _run_segments(
 
     with timers.phase("upscale_and_emit"):
         for s in range(S):
-            if frames_written >= emit_real:
+            # segment s's real (unpadded) frame count; a global running
+            # budget would mis-trim when max_windows bounds per-segment
+            # coverage below seg_len
+            real_len = max(0, min(seg_len, T - s * seg_len))
+            if real_len == 0:
                 break  # trailing segments were pure pad (T << S * seg_len)
             out_frames = np.concatenate(seg_buffers[s], axis=0)
             seg_buffers[s] = None
-            budget = min(len(out_frames), emit_real - frames_written)
+            budget = min(len(out_frames), real_len)
             out_frames = out_frames[:budget]
             if to_yuv:
                 # frames were packed to I420 on device inside the stitch

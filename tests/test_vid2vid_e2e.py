@@ -189,6 +189,43 @@ def test_resume_mid_video(base_pipe, tmp_path):
     assert partial["frames_written"] + len(s2.frames) == 10
 
 
+def test_interrupted_without_checkpointing_flushes_tail(base_pipe, tmp_path):
+    """With checkpointing disabled there is nothing to resume from, so an
+    interrupted (max_windows-bounded) run must flush the pending tail
+    overlap — withholding it (the resumable-run behavior) would lose the
+    generated frames unrecoverably (r3 review finding)."""
+    cfg = base_cfg(output_video_dir=str(tmp_path), checkpoint_interval=0)
+    frames_in = (np.random.RandomState(4).rand(10, 64, 64, 3) * 255).astype(np.uint8)
+    sink = ArrayFrameSink()
+    s = vid2vid(
+        config=cfg, pipeline=base_pipe,
+        frame_source=ArrayFrameSource(frames_in), frame_sink=sink, max_windows=2,
+    )
+    assert not (tmp_path / "stitch_state.npz").exists()
+    # 2 windows x 2 novel + the 2-frame tail: the partial output is complete
+    assert s["windows"] == 2
+    assert s["frames_written"] == 6
+    assert len(sink.frames) == 6
+
+
+def test_completion_clears_stale_checkpoint(base_pipe, tmp_path):
+    """A run that completes naturally clears any stitch_state.npz left in
+    its output dir by an earlier interrupted run — even when it itself ran
+    with checkpointing disabled — so a later resume=True cannot load
+    another run's obsolete state (r3 review finding)."""
+    cfg = base_cfg(output_video_dir=str(tmp_path))
+    frames_in = (np.random.RandomState(6).rand(10, 64, 64, 3) * 255).astype(np.uint8)
+    vid2vid(config=cfg, pipeline=base_pipe,
+            frame_source=ArrayFrameSource(frames_in),
+            frame_sink=ArrayFrameSink(), max_windows=2)
+    assert (tmp_path / "stitch_state.npz").exists()
+
+    vid2vid(config=cfg.replace(checkpoint_interval=0), pipeline=base_pipe,
+            frame_source=ArrayFrameSource(frames_in),
+            frame_sink=ArrayFrameSink())
+    assert not (tmp_path / "stitch_state.npz").exists()
+
+
 @pytest.mark.slow
 def test_ipadapter_initial_generation_loop():
     """IP-Adapter path end to end: zeros tokens on the first window, anchor
@@ -401,6 +438,38 @@ def test_segment_parallel_pads_and_trims_tail(base_pipe):
                  frame_source=ArrayFrameSource(frames_5), frame_sink=sink5)
     assert s5["frames_written"] == 5
     assert len(sink5.frames) == 5
+
+
+def test_segment_parallel_max_windows_keeps_boundaries(base_pipe):
+    """max_windows bounds windows PER SEGMENT without moving the segment
+    split: a bounded debug run emits, per segment, a prefix of the unbounded
+    run's frames for that same segment (before the r3 review fix the input
+    was re-split by the BOUNDED window count, so every boundary moved and
+    segment 1 processed different content)."""
+    cfg = base_cfg(parallel_segments=2, checkpoint_interval=0)
+    # T=20 -> per-segment 10 -> k=4 windows/segment, seg_len=10, no pad
+    frames_in = (np.random.RandomState(21).rand(20, 64, 64, 3) * 255).astype(np.uint8)
+
+    full_sink = ArrayFrameSink()
+    full = vid2vid(config=cfg, pipeline=base_pipe,
+                   frame_source=ArrayFrameSource(frames_in), frame_sink=full_sink)
+    assert full["frames_written"] == 20
+
+    b_sink = ArrayFrameSink()
+    bounded = vid2vid(config=cfg, pipeline=base_pipe,
+                      frame_source=ArrayFrameSource(frames_in),
+                      frame_sink=b_sink, max_windows=2)
+    # 2 windows x 2 novel + 2-frame tail per segment
+    assert bounded["frames_written"] == 12
+    # in-loop frames (before the unblended tail) are bit-exact prefixes of
+    # the unbounded run's per-segment output; both runs use the same batched
+    # programs with identical inputs and seeds
+    for s, (b_lo, f_lo) in enumerate([(0, 0), (6, 10)]):
+        np.testing.assert_array_equal(
+            np.stack(b_sink.frames[b_lo:b_lo + 4]),
+            np.stack(full_sink.frames[f_lo:f_lo + 4]),
+            err_msg=f"segment {s} bounded prefix diverged",
+        )
 
 
 def test_segment_parallel_rejects_unsupported_modes(base_pipe):
