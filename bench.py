@@ -336,4 +336,15 @@ if __name__ == "__main__":
     for arg in sys.argv[1:]:
         k, v = arg.split("=")
         kw[k] = int(v)
-    main(**kw)
+    try:
+        main(**kw)
+    except RuntimeError as e:
+        # a hard pool outage (claim retry exhausted) should leave a concise,
+        # unambiguous artifact — not a traceback, and not a fake 0-fps line
+        if "UNAVAILABLE" in str(e) or "backend" in str(e).lower():
+            print(
+                f"BENCH ABORTED: TPU device claim failed after retry ({e})",
+                file=sys.stderr,
+            )
+            sys.exit(2)
+        raise

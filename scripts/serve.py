@@ -3,7 +3,8 @@ pipeline (stdlib-only; no reference equivalent — the reference is a one-shot
 CLI, main.py:16-23).
 
   POST /jobs        {"config": {...RunConfig keys...}}   -> {"job_id": ...}
-  GET  /jobs/<id>   -> {"status": "queued|running|done|failed", ...}
+  GET  /jobs/<id>   -> {"status": "queued|running|done|failed",
+                        "progress": {"windows": n, "frames_written": m}, ...}
   GET  /healthz     -> ok
 
 One worker thread executes jobs sequentially (a single-chip TPU serves one
@@ -59,7 +60,11 @@ def worker() -> None:
 
                 pipeline = ControlAnimatePipeline(cfg)
                 _PIPE_CACHE[key] = pipeline
-            summary = vid2vid(config=cfg, pipeline=pipeline)
+            summary = vid2vid(
+                config=cfg, pipeline=pipeline,
+                # live progress: GET /jobs/<id> shows windows/frames so far
+                progress=lambda p, j=job: j.setdefault("progress", {}).update(p),
+            )
             job["status"] = "done"
             job["result"] = summary
         except Exception as e:  # report, keep serving

@@ -143,9 +143,14 @@ def vid2vid(
     frame_sink: Optional[media.FrameSink] = None,
     upscaler=None,
     max_windows: Optional[int] = None,
+    progress=None,
 ) -> dict:
     """Run the full vid2vid loop. Returns a summary dict (frames written,
-    output path, seed)."""
+    output path, seed).
+
+    `progress`, if given, is called after every window with a dict
+    ({"windows": n, "frames_written": m, ...}) — live job status for
+    long-running callers (scripts/serve.py polls it via GET /jobs/<id>)."""
     cfg = config or RunConfig.from_yaml(config_path)
 
     # ---- geometry (reference: vid2vid.py:73-96) ----
@@ -283,6 +288,7 @@ def vid2vid(
             cfg, pipeline, frame_source, frame_sink, upscaler,
             sink_pix_fmt=sink_pix_fmt, upscale=upscale,
             out_w=out_w, out_h=out_h, max_windows=max_windows, seed=seed,
+            progress=progress,
         )
         if own_sink:
             frame_sink.close()
@@ -588,6 +594,8 @@ def vid2vid(
 
         state.epoch += 1
         windows_run += 1
+        if progress is not None:
+            progress({"windows": windows_run, "frames_written": frames_written})
 
     # flush the last window's deferred emit; on an interrupted run (bounded
     # by max_windows, input remaining) save a final post-flush checkpoint so
@@ -680,6 +688,7 @@ def _run_segments(
     out_h: int,
     max_windows: Optional[int],
     seed: int,
+    progress=None,
 ) -> dict:
     """Segment-parallel vid2vid (SURVEY §2.13: 'embarrassingly parallel
     across video segments with fixed seeds' — the reference is single-GPU
@@ -846,6 +855,11 @@ def _run_segments(
                 overlap_length=ov, to_yuv=to_yuv, emit=emit,
             )
         pending_packed = packed
+        if progress is not None:
+            # frames are sink-written in order at the end; report generated
+            # coverage instead (S segments advance in lockstep)
+            progress({"windows": w + 1, "segments": S,
+                      "frames_generated": S * (F + w * novel)})
 
     _fetch_packed()
     if ov > 0 and overlap_out is not None:

@@ -32,7 +32,9 @@ def _get(url):
 def test_job_api_roundtrip(monkeypatch, tmp_path):
     from scripts import serve, vid2vid as v2v
 
-    def fake_vid2vid(config=None, pipeline=None, **kw):
+    def fake_vid2vid(config=None, pipeline=None, progress=None, **kw):
+        if progress is not None:
+            progress({"windows": 1, "frames_written": 2})
         time.sleep(0.1)
         return {"frames_written": 4, "seed": config.seed, "output": "x.mp4", "windows": 1}
 
@@ -69,6 +71,8 @@ def test_job_api_roundtrip(monkeypatch, tmp_path):
         time.sleep(0.1)
     assert status["status"] == "done", status
     assert status["result"]["frames_written"] == 4
+    # live per-window progress surfaced while the job ran
+    assert status["progress"] == {"windows": 1, "frames_written": 2}
 
     code, err = _get(f"{base}/jobs/nope")
     assert code == 404

@@ -101,9 +101,11 @@ def test_vid2vid_loop_writes_all_frames(base_pipe):
     pipe = base_pipe
     frames_in = (np.random.RandomState(0).rand(10, 64, 64, 3) * 255).astype(np.uint8)
     sink = ArrayFrameSink()
+    calls = []
     summary = vid2vid(
         config=cfg, pipeline=pipe,
         frame_source=ArrayFrameSource(frames_in), frame_sink=sink,
+        progress=calls.append,
     )
     # 10 in -> 10 out (epochs emit len-2, final flush emits the tail 2)
     assert summary["frames_written"] == 10
@@ -111,6 +113,9 @@ def test_vid2vid_loop_writes_all_frames(base_pipe):
     assert sink.frames[0].shape == (64, 64, 3)
     # multiple windows ran with overlap chaining
     assert summary["windows"] == 4
+    # live progress fired once per window with monotone counts
+    assert [c["windows"] for c in calls] == [1, 2, 3, 4]
+    assert calls[-1]["frames_written"] == 8  # the 2-frame tail flushes after
 
 
 def test_vid2vid_with_controlnet_canny():
