@@ -2,10 +2,13 @@
 pipeline (stdlib-only; no reference equivalent — the reference is a one-shot
 CLI, main.py:16-23).
 
-  POST /jobs        {"config": {...RunConfig keys...}}   -> {"job_id": ...}
-  GET  /jobs/<id>   -> {"status": "queued|running|done|failed",
-                        "progress": {"windows": n, "frames_written": m}, ...}
-  GET  /healthz     -> ok
+  POST   /jobs       {"config": {...RunConfig keys...}}   -> {"job_id": ...}
+  GET    /jobs       -> {"jobs": [{"id": ..., "status": ...}, ...]}
+  GET    /jobs/<id>  -> {"status": "queued|running|done|failed|canceled",
+                         "progress": {"windows": n, "frames_written": m}, ...}
+  DELETE /jobs/<id>  -> cancels a QUEUED job (409 once running: a window
+                        program in flight on the chip cannot be revoked)
+  GET    /healthz    -> ok
 
 One worker thread executes jobs sequentially (a single-chip TPU serves one
 window program at a time; scale-out is one process per chip/slice). Model
@@ -49,8 +52,13 @@ def worker() -> None:
 
     while True:
         job_id = JOB_QUEUE.get()
+        if job_id is None:  # shutdown sentinel (graceful stop / tests)
+            return
         job = JOBS[job_id]
-        job["status"] = "running"
+        with _LOCK:
+            if job["status"] == "canceled":
+                continue
+            job["status"] = "running"
         try:
             cfg = RunConfig.from_dict(job["config"])
             key = _pipeline_key(cfg)
@@ -96,6 +104,11 @@ class Handler(BaseHTTPRequestHandler):
         if self.path == "/healthz":
             self._json(200, {"ok": True, "jobs": len(JOBS)})
             return
+        if self.path == "/jobs":
+            self._json(200, {"jobs": [
+                {"id": jid, "status": j["status"]} for jid, j in JOBS.items()
+            ]})
+            return
         if self.path.startswith("/jobs/"):
             job = JOBS.get(self.path.split("/")[-1])
             if job is None:
@@ -104,6 +117,24 @@ class Handler(BaseHTTPRequestHandler):
             self._json(200, {k: v for k, v in job.items() if k != "config"})
             return
         self._json(404, {"error": "unknown path"})
+
+    def do_DELETE(self):
+        if not self._authorized():
+            self._json(401, {"error": "unauthorized"})
+            return
+        if not self.path.startswith("/jobs/"):
+            self._json(404, {"error": "unknown path"})
+            return
+        job = JOBS.get(self.path.split("/")[-1])
+        if job is None:
+            self._json(404, {"error": "unknown job"})
+            return
+        with _LOCK:
+            if job["status"] != "queued":
+                self._json(409, {"error": f"job is {job['status']}, not queued"})
+                return
+            job["status"] = "canceled"
+        self._json(200, {"status": "canceled"})
 
     def do_POST(self):
         if not self._authorized():

@@ -79,6 +79,83 @@ def test_job_api_roundtrip(monkeypatch, tmp_path):
 
     code, err = _post(f"{base}/jobs", {"bad": 1})
     assert code == 400
+    serve.JOB_QUEUE.put(None)  # retire this test's worker
+    httpd.shutdown()
+
+
+def _delete(url):
+    req = urllib.request.Request(url, method="DELETE")
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_job_list_and_cancellation(monkeypatch):
+    """DELETE /jobs/<id> cancels a queued job (the worker skips it); a
+    running job returns 409; GET /jobs lists everything."""
+    from scripts import serve
+
+    gate = threading.Event()
+
+    def fake_vid2vid(config=None, pipeline=None, progress=None, **kw):
+        gate.wait(timeout=10)
+        return {"frames_written": 1, "seed": 0, "output": "", "windows": 1}
+
+    class FakePipeline:
+        def __init__(self, cfg):
+            pass
+
+    monkeypatch.setattr("scripts.vid2vid.vid2vid", fake_vid2vid)
+    import controlanimate_tpu.pipelines.facade as facade
+
+    monkeypatch.setattr(facade, "ControlAnimatePipeline", FakePipeline)
+
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), serve.Handler)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    threading.Thread(target=serve.worker, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    _, r1 = _post(f"{base}/jobs", {"config": {"prompt": "a"}})
+    j1 = r1["job_id"]
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        _, s = _get(f"{base}/jobs/{j1}")
+        if s["status"] == "running":
+            break
+        time.sleep(0.05)
+    assert s["status"] == "running"
+
+    _, r2 = _post(f"{base}/jobs", {"config": {"prompt": "b"}})
+    j2 = r2["job_id"]
+
+    code, resp = _delete(f"{base}/jobs/{j2}")
+    assert code == 200 and resp["status"] == "canceled"
+    code, resp = _delete(f"{base}/jobs/{j1}")
+    assert code == 409  # running: a window program in flight can't be revoked
+    code, resp = _delete(f"{base}/jobs/nope")
+    assert code == 404
+
+    code, listing = _get(f"{base}/jobs")
+    statuses = {j["id"]: j["status"] for j in listing["jobs"]}
+    assert statuses[j1] == "running" and statuses[j2] == "canceled"
+
+    gate.set()
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        _, s1 = _get(f"{base}/jobs/{j1}")
+        if s1["status"] in ("done", "failed"):
+            break
+        time.sleep(0.05)
+    assert s1["status"] == "done"
+    # the canceled job was skipped, not executed
+    _, s2 = _get(f"{base}/jobs/{j2}")
+    assert s2["status"] == "canceled" and "result" not in s2
+    serve.JOB_QUEUE.put(None)
     httpd.shutdown()
 
 
