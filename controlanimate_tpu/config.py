@@ -210,6 +210,11 @@ class RunConfig:
     # (controlanimation_pipeline.py:295-474 encode_prompt clip_skip) but its
     # product path never exposes a config key — this one does
     clip_skip: int = 0
+    # encoder propagation (arXiv:2312.09608, beyond-reference acceleration):
+    # every Nth denoise step runs the full UNet+ControlNets and caches the
+    # encoder features; steps between run decoder-only against the cache.
+    # 0/1 = off. Multi-step samplers only (the engine rejects it with LCM)
+    encoder_reuse_every: int = 0
 
     # media
     fps: int = 15

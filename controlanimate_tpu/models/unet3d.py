@@ -154,7 +154,21 @@ class UNet3DConditionModel(nn.Module):
         down_block_additional_residuals: Optional[Sequence[jnp.ndarray]] = None,
         mid_block_additional_residual: Optional[jnp.ndarray] = None,
         ip_scale: float | jnp.ndarray = 1.0,
+        encoder_cache: Optional[tuple] = None,
+        return_encoder_features: bool = False,
     ) -> jnp.ndarray:
+        """Forward denoise step.
+
+        Encoder propagation (opt-in acceleration, "Faster Diffusion"
+        arXiv:2312.09608): `return_encoder_features=True` additionally
+        returns `(down_residuals, mid_sample)` captured AFTER ControlNet
+        injection; passing that tuple back as `encoder_cache` skips conv_in,
+        every down block, the mid block, and the residual injection — only
+        the time embedding and the up blocks run against the cached
+        features. Used by the engine at non-key sampler steps, where
+        adjacent-step encoder features are nearly identical. Exact contract:
+        a cached call at the SAME timestep reproduces the full call
+        bit-for-bit (tests/test_unet3d.py)."""
         cfg = self.config
         B = sample.shape[0]
         if timesteps.ndim == 0:
@@ -170,54 +184,62 @@ class UNet3DConditionModel(nn.Module):
             dtype=self.dtype,
         )(t_emb, timestep_cond)
 
-        sample = InflatedConv(cfg.block_out_channels[0], name="conv_in", dtype=self.dtype)(
-            sample
-        )
+        if encoder_cache is not None:
+            down_residuals = list(encoder_cache[0])
+            sample = encoder_cache[1]
+        else:
+            sample = InflatedConv(
+                cfg.block_out_channels[0], name="conv_in", dtype=self.dtype
+            )(sample)
 
-        down_residuals = [sample]
-        # ---- down blocks (reference: unet_blocks.py:283-523) ----
-        ch = cfg.block_out_channels[0]
-        for i, block_type in enumerate(cfg.down_block_types):
-            out_ch = cfg.block_out_channels[i]
-            has_cross = block_type == "CrossAttnDownBlock3D"
-            use_motion = (
-                cfg.use_motion_module
-                and (2**i) in cfg.motion_module_resolutions
-                and not cfg.motion_module_decoder_only
-            )
-            for j in range(cfg.layers_per_block):
-                sample = self._resnet(out_ch, f"down_blocks_{i}_resnets_{j}")(sample, temb)
-                if has_cross:
-                    sample = self._spatial(out_ch, f"down_blocks_{i}_attentions_{j}")(
-                        sample, encoder_hidden_states, ip_scale
-                    )
-                if use_motion:
-                    sample = self._motion(f"down_blocks_{i}_motion_modules_{j}")(sample)
-                down_residuals.append(sample)
-            if i < len(cfg.down_block_types) - 1:
-                sample = Downsample3D(out_ch, name=f"down_blocks_{i}_downsamplers_0", dtype=self.dtype)(
-                    sample
+            down_residuals = [sample]
+            # ---- down blocks (reference: unet_blocks.py:283-523) ----
+            ch = cfg.block_out_channels[0]
+            for i, block_type in enumerate(cfg.down_block_types):
+                out_ch = cfg.block_out_channels[i]
+                has_cross = block_type == "CrossAttnDownBlock3D"
+                use_motion = (
+                    cfg.use_motion_module
+                    and (2**i) in cfg.motion_module_resolutions
+                    and not cfg.motion_module_decoder_only
                 )
-                down_residuals.append(sample)
-            ch = out_ch
+                for j in range(cfg.layers_per_block):
+                    sample = self._resnet(out_ch, f"down_blocks_{i}_resnets_{j}")(sample, temb)
+                    if has_cross:
+                        sample = self._spatial(out_ch, f"down_blocks_{i}_attentions_{j}")(
+                            sample, encoder_hidden_states, ip_scale
+                        )
+                    if use_motion:
+                        sample = self._motion(f"down_blocks_{i}_motion_modules_{j}")(sample)
+                    down_residuals.append(sample)
+                if i < len(cfg.down_block_types) - 1:
+                    sample = Downsample3D(out_ch, name=f"down_blocks_{i}_downsamplers_0", dtype=self.dtype)(
+                        sample
+                    )
+                    down_residuals.append(sample)
+                ch = out_ch
 
-        # ---- mid block (reference: unet_blocks.py:173-280) ----
-        sample = self._resnet(ch, "mid_block_resnets_0")(sample, temb)
-        sample = self._spatial(ch, "mid_block_attentions_0")(
-            sample, encoder_hidden_states, ip_scale
+            # ---- mid block (reference: unet_blocks.py:173-280) ----
+            sample = self._resnet(ch, "mid_block_resnets_0")(sample, temb)
+            sample = self._spatial(ch, "mid_block_attentions_0")(
+                sample, encoder_hidden_states, ip_scale
+            )
+            if cfg.use_motion_module and cfg.motion_module_mid_block:
+                sample = self._motion("mid_block_motion_modules_0")(sample)
+            sample = self._resnet(ch, "mid_block_resnets_1")(sample, temb)
+
+            # ControlNet residual injection (reference: unet.py:567-576,583-585)
+            if down_block_additional_residuals is not None:
+                down_residuals = [
+                    r + c.astype(r.dtype)
+                    for r, c in zip(down_residuals, down_block_additional_residuals)
+                ]
+            if mid_block_additional_residual is not None:
+                sample = sample + mid_block_additional_residual.astype(sample.dtype)
+
+        encoder_features = (
+            (tuple(down_residuals), sample) if return_encoder_features else None
         )
-        if cfg.use_motion_module and cfg.motion_module_mid_block:
-            sample = self._motion("mid_block_motion_modules_0")(sample)
-        sample = self._resnet(ch, "mid_block_resnets_1")(sample, temb)
-
-        # ControlNet residual injection (reference: unet.py:567-576,583-585)
-        if down_block_additional_residuals is not None:
-            down_residuals = [
-                r + c.astype(r.dtype)
-                for r, c in zip(down_residuals, down_block_additional_residuals)
-            ]
-        if mid_block_additional_residual is not None:
-            sample = sample + mid_block_additional_residual.astype(sample.dtype)
 
         # ---- up blocks (reference: unet_blocks.py:526-762) ----
         reversed_ch = list(reversed(cfg.block_out_channels))
@@ -247,4 +269,6 @@ class UNet3DConditionModel(nn.Module):
         )(sample)
         sample = nn.silu(sample)
         sample = InflatedConv(cfg.out_channels, name="conv_out", dtype=self.dtype)(sample)
+        if return_encoder_features:
+            return sample, encoder_features
         return sample

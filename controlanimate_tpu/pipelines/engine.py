@@ -97,6 +97,16 @@ class WindowStatic:
     # decode this many frames at a time (0 = whole window at once); bounds
     # VAE-decoder peak HBM so 32-frame windows fit a 16GB chip
     decode_chunk: int = 0
+    # encoder propagation ("Faster Diffusion" arXiv:2312.09608, opt-in):
+    # every Nth sampler step is a KEY step running the full UNet (and
+    # ControlNets); the steps between reuse the key step's cached encoder
+    # features (post-ControlNet-injection skips + mid) and run only the time
+    # embedding + up blocks. Adjacent-step encoder features are nearly
+    # identical at 20+ steps, so quality cost is small for ~35-45% less
+    # denoise compute at N=2. 0/1 = off (the default program is unchanged).
+    # Multi-step samplers only: LCM's 4 giant steps violate the
+    # adjacent-step assumption (the engine raises).
+    encoder_reuse_every: int = 0
     # overlap-latent reuse: when the window call provides `head_latents`
     # (clean latents of the first `overlaps` input frames, cached from the
     # previous window's encode of the SAME pixels) prepare encodes only the
@@ -323,9 +333,16 @@ class AnimationEngine:
 
     def _make_denoise_fn(self, st: WindowStatic, sched) -> Callable:
         key_ = ("denoise", self._sched_key(st), st.guidance_scale,
-                st.guess_mode, st.ipa_scale, st.ip_tokens)
+                st.guess_mode, st.ipa_scale, st.ip_tokens,
+                st.encoder_reuse_every)
         if key_ in self._window_cache:
             return self._window_cache[key_]
+        if st.encoder_reuse_every > 1 and st.use_lcm:
+            raise ValueError(
+                "encoder_reuse_every requires a multi-step sampler: LCM's "
+                "few giant steps violate the adjacent-step encoder-feature "
+                "approximation (arXiv:2312.09608); disable one of the two"
+            )
 
         ts = jnp.asarray(np.round(sched.timesteps).astype(np.int64))
         n_cn = len(self.m.controlnets)
@@ -375,17 +392,7 @@ class AnimationEngine:
 
             state0 = sched.init_state(latents.shape)
 
-            def body(carry, i):
-                latents, state = carry
-                t = ts[i]
-
-                if st.do_cfg:
-                    lat_in = jnp.concatenate([latents, latents], axis=0)
-                else:
-                    lat_in = latents
-                lat_in = sched.scale_model_input(i, lat_in)
-                lcm_in = sched.scale_model_input(i, latents)
-
+            def cn_residuals(lat_in, lcm_in, t):
                 down_res = mid_res = None
                 if n_cn:
                     cn_input = lcm_in if cn_uses_cond_only else lat_in
@@ -407,6 +414,20 @@ class AnimationEngine:
                         # residuals apply to BOTH CFG branches; make explicit
                         down_res = [jnp.concatenate([d, d]) for d in down_res]
                         mid_res = jnp.concatenate([mid_res, mid_res])
+                return down_res, mid_res
+
+            def body(carry, i):
+                latents, state = carry
+                t = ts[i]
+
+                if st.do_cfg:
+                    lat_in = jnp.concatenate([latents, latents], axis=0)
+                else:
+                    lat_in = latents
+                lat_in = sched.scale_model_input(i, lat_in)
+                lcm_in = sched.scale_model_input(i, latents)
+
+                down_res, mid_res = cn_residuals(lat_in, lcm_in, t)
 
                 if st.use_lcm:
                     model_out = self.m.unet.apply(
@@ -439,6 +460,69 @@ class AnimationEngine:
                 )
                 return (latents, state), None
 
+            # ---- encoder propagation (arXiv:2312.09608, opt-in) ----
+            # key steps run the full graph and refresh the feature cache;
+            # the steps between run decoder-only against it. The carry grows
+            # by the cached (skips, mid) pytree; step 0 and the final step
+            # are always keys. The default body above is untouched so the
+            # compiled default program (and its cache entries) are identical
+            # with the feature off.
+            reuse_n = st.encoder_reuse_every
+            if reuse_n > 1:
+                keys_np = np.zeros(sched.num_steps, bool)
+                keys_np[::reuse_n] = True
+                keys_np[-1] = True  # spend full compute where it matters most
+                key_mask = jnp.asarray(keys_np)
+
+                def body_reuse(carry, i):
+                    latents, state, cache = carry
+                    t = ts[i]
+                    if st.do_cfg:
+                        lat_in = jnp.concatenate([latents, latents], axis=0)
+                    else:
+                        lat_in = latents
+                    lat_in = sched.scale_model_input(i, lat_in)
+                    lcm_in = sched.scale_model_input(i, latents)
+
+                    def full_step(op):
+                        lat_in, lcm_in, _ = op
+                        down_res, mid_res = cn_residuals(lat_in, lcm_in, t)
+                        return self.m.unet.apply(
+                            {"params": unet_params},
+                            lat_in,
+                            t,
+                            text_embeds,
+                            down_block_additional_residuals=down_res,
+                            mid_block_additional_residual=mid_res,
+                            ip_scale=st.ipa_scale,
+                            return_encoder_features=True,
+                        )
+
+                    def cached_step(op):
+                        lat_in, _, cache = op
+                        out, _ = self.m.unet.apply(
+                            {"params": unet_params},
+                            lat_in,
+                            t,
+                            text_embeds,
+                            ip_scale=st.ipa_scale,
+                            encoder_cache=cache,
+                            return_encoder_features=True,
+                        )
+                        return out, cache
+
+                    model_out, cache = jax.lax.cond(
+                        key_mask[i], full_step, cached_step, (lat_in, lcm_in, cache)
+                    )
+                    if st.do_cfg:
+                        uncond, cond = jnp.split(model_out, 2, axis=0)
+                        model_out = uncond + st.guidance_scale * (cond - uncond)
+                    model_out = model_out.astype(latents.dtype)
+                    latents, state = sched.step(
+                        i, model_out, latents, state, jax.random.fold_in(k_loop, i)
+                    )
+                    return (latents, state, cache), None
+
             # measured on v5e: unrolling the 4-step LCM loop is perf-neutral
             # (752 vs 748 ms) and costs compile time — keep the rolled scan
             #
@@ -467,9 +551,32 @@ class AnimationEngine:
                 else contextlib.nullcontext()
             )
             with flash_ctx:
-                (latents, _), _ = jax.lax.scan(
-                    body, (latents, state0), jnp.arange(sched.num_steps)
-                )
+                if reuse_n > 1:
+                    # zero-init cache with the key-step feature shapes; the
+                    # step-0 key refreshes it before any cached step reads it
+                    lat0 = (
+                        jnp.concatenate([latents, latents], axis=0)
+                        if st.do_cfg else latents
+                    )
+                    lat0 = sched.scale_model_input(0, lat0)
+                    feats_sd = jax.eval_shape(
+                        lambda p, l, te: self.m.unet.apply(
+                            {"params": p}, l, ts[0], te, ip_scale=st.ipa_scale,
+                            return_encoder_features=True,
+                        )[1],
+                        unet_params, lat0, text_embeds,
+                    )
+                    cache0 = jax.tree_util.tree_map(
+                        lambda s: jnp.zeros(s.shape, s.dtype), feats_sd
+                    )
+                    (latents, _, _), _ = jax.lax.scan(
+                        body_reuse, (latents, state0, cache0),
+                        jnp.arange(sched.num_steps),
+                    )
+                else:
+                    (latents, _), _ = jax.lax.scan(
+                        body, (latents, state0), jnp.arange(sched.num_steps)
+                    )
             return latents
 
         jitted = jax.jit(run)

@@ -559,6 +559,7 @@ class ControlAnimatePipeline:
             use_lcm=cfg.use_lcm,
             lcm_origin_steps=cfg.lcm_origin_steps,
             guess_mode=cfg.guess_mode,
+            encoder_reuse_every=int(cfg.encoder_reuse_every),
             overlaps=int(overlaps),
             use_img2img=cfg.use_img2img,
             has_input_frames=input_frames is not None,

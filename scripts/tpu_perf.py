@@ -376,6 +376,17 @@ def bench_euler():
     log(f"  => Euler profile ≈ {16/window:.2f} fps/chip "
         f"(LCM profile 15.1 → measured LCM speedup ≈ {15.1/(16/window):.1f}x)")
 
+    # encoder propagation (arXiv:2312.09608, opt-in): non-key steps skip
+    # conv_in/down/mid and run decoder-only against the key step's cache
+    for reuse in (2, 3):
+        st_r = WindowStatic(**{**st.__dict__, "encoder_reuse_every": reuse})
+        den_r = eng._make_denoise_fn(st_r, sched)
+        tr = timeit(f"euler denoise [encoder-reuse n={reuse}]", den_r,
+                    eng.m.unet_params, (), text, (), lat, key, iters=2)
+        wr = tr + t2 + 0.17
+        log(f"  => Euler+reuse{reuse} ≈ {16/wr:.2f} fps/chip "
+            f"({t/tr:.2f}x denoise speedup vs full)")
+
 
 def bench_motion_loop():
     """Frame-axis attention formulations, chained x10 inside one jit at the

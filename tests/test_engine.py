@@ -108,6 +108,39 @@ def test_vid2vid_lcm_with_controlnet(engine):
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
+def test_encoder_reuse_window(engine):
+    """Encoder propagation (arXiv:2312.09608, opt-in): non-key steps run
+    decoder-only against the key step's cached features (post-ControlNet-
+    injection). Runs with CFG + a ControlNet; deterministic; stays in range;
+    actually changes the numerics vs the full run (it is an approximation,
+    not a refactor)."""
+    def mk(reuse):
+        return WindowStatic(
+            scheduler_name="EulerDiscreteScheduler", steps=4,
+            guidance_scale=7.5, strength=0.9, encoder_reuse_every=reuse,
+        )
+
+    frames = jax.random.uniform(jax.random.PRNGKey(1), (1, 2, 32, 32, 3)) * 2 - 1
+    cond = jax.random.uniform(jax.random.PRNGKey(2), (1, 2, 32, 32, 3))
+    kw = dict(cond_images=[cond], input_frames=frames)
+    base = engine.generate_window(mk(0), _embeds(1), jax.random.PRNGKey(3), **kw)
+    fast = engine.generate_window(mk(2), _embeds(1), jax.random.PRNGKey(3), **kw)
+    fast2 = engine.generate_window(mk(2), _embeds(1), jax.random.PRNGKey(3), **kw)
+    assert fast.shape == base.shape
+    assert bool(jnp.all(jnp.isfinite(fast)))
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(fast2))
+    assert not np.array_equal(np.asarray(fast), np.asarray(base))
+    assert float(fast.min()) >= 0.0 and float(fast.max()) <= 1.0
+
+
+def test_encoder_reuse_rejects_lcm(engine):
+    st = WindowStatic(
+        steps=4, use_lcm=True, lcm_origin_steps=50, encoder_reuse_every=2,
+    )
+    with pytest.raises(ValueError, match="encoder_reuse_every"):
+        engine.make_window_fn(st)
+
+
 def test_overlap_noising_pins_overlap_frames(engine):
     """With strength<1 and overlap frames, overlap slots must start from the
     previous outputs: at strength->0 the output should reproduce them."""

@@ -194,6 +194,22 @@ def test_resume_mid_video(base_pipe, tmp_path):
     assert partial["frames_written"] + len(s2.frames) == 10
 
 
+def test_encoder_reuse_plumbs_through_facade():
+    """RunConfig.encoder_reuse_every reaches the engine program (opt-in
+    encoder propagation, arXiv:2312.09608): the run completes and differs
+    from the full-compute run with the same seed."""
+    frames_in = (np.random.RandomState(9).rand(4, 64, 64, 3) * 255).astype(np.uint8)
+    outs = []
+    for reuse in (0, 2):
+        cfg = base_cfg(encoder_reuse_every=reuse, steps=4, checkpoint_interval=0)
+        sink = ArrayFrameSink()
+        s = vid2vid(config=cfg, pipeline=tiny_pipeline(cfg),
+                    frame_source=ArrayFrameSource(frames_in), frame_sink=sink)
+        assert s["frames_written"] == 4
+        outs.append(np.stack(sink.frames))
+    assert not np.array_equal(outs[0], outs[1])
+
+
 def test_interrupted_without_checkpointing_flushes_tail(base_pipe, tmp_path):
     """With checkpointing disabled there is nothing to resume from, so an
     interrupted (max_windows-bounded) run must flush the pending tail
