@@ -190,6 +190,10 @@ def measure_overlap8(pipeline, frames=24, size=512, windows=8) -> float:
     return fps
 
 
+class DeviceClaimError(RuntimeError):
+    """Raised when the TPU pool claim itself fails (vs. a bench-code error)."""
+
+
 def _claim_device(attempts: int = 2, cooldown_s: int = 120):
     """jax.devices() with ONE bounded retry: the axon pool claim can block
     ~25 min and then raise UNAVAILABLE when no chip is free (seen 8/18); on
@@ -200,7 +204,7 @@ def _claim_device(attempts: int = 2, cooldown_s: int = 120):
             return jax.devices()[0]
         except RuntimeError as e:
             if i == attempts - 1:
-                raise
+                raise DeviceClaimError(str(e)) from e
             log(f"device claim failed ({e}); retrying in {cooldown_s}s")
             try:
                 from jax._src import xla_bridge as _xb
@@ -338,13 +342,13 @@ if __name__ == "__main__":
         kw[k] = int(v)
     try:
         main(**kw)
-    except RuntimeError as e:
+    except DeviceClaimError as e:
         # a hard pool outage (claim retry exhausted) should leave a concise,
-        # unambiguous artifact — not a traceback, and not a fake 0-fps line
-        if "UNAVAILABLE" in str(e) or "backend" in str(e).lower():
-            print(
-                f"BENCH ABORTED: TPU device claim failed after retry ({e})",
-                file=sys.stderr,
-            )
-            sys.exit(2)
-        raise
+        # unambiguous artifact — not a traceback, and not a fake 0-fps line.
+        # Only claim-time failures take this path; a RuntimeError later in
+        # the bench (a real code/compile regression) keeps its traceback.
+        print(
+            f"BENCH ABORTED: TPU device claim failed after retry ({e})",
+            file=sys.stderr,
+        )
+        sys.exit(2)

@@ -185,6 +185,15 @@ class UNet3DConditionModel(nn.Module):
         )(t_emb, timestep_cond)
 
         if encoder_cache is not None:
+            # the cache is POST-injection: fresh ControlNet residuals cannot
+            # be combined with cached features — reject loudly rather than
+            # silently dropping the conditioning
+            if (down_block_additional_residuals is not None
+                    or mid_block_additional_residual is not None):
+                raise ValueError(
+                    "encoder_cache already contains the ControlNet injection; "
+                    "pass residuals only on full (cache-producing) steps"
+                )
             down_residuals = list(encoder_cache[0])
             sample = encoder_cache[1]
         else:

@@ -261,7 +261,27 @@ class AnimationEngine:
             # LCM noises the stacked input-frame latents only (reference
             # :591-593); last_output_frames never reach the latent path, so
             # skip their VAE encode entirely (~K frame encodes per window)
-            assert frames_latents is not None
+            if frames_latents is None:
+                # txt2vid extension: the reference's LCM path cannot run
+                # without input frames (`torch.stack([])` raises at :592).
+                # First window: consistency-sample from pure noise. Overlap
+                # windows: noise the last outputs' latents, anchor-padded
+                # beyond the overlap — the reference's own txt2vid treatment
+                # on the non-LCM path (:595-604).
+                assert not st.tail_latents  # latent reuse needs input frames
+                if last_output_frames is None:
+                    return noise * sched.init_noise_sigma
+                last_latents = self._encode_frames(
+                    vae_params, last_output_frames, k_out
+                )
+                B, F = latent_shape[:2]
+                K = last_latents.shape[1]
+                anchor = last_latents[:, -1:]
+                frames_latents = jnp.concatenate(
+                    [last_latents,
+                     jnp.broadcast_to(anchor, (B, F - K, *latent_shape[2:]))],
+                    axis=1,
+                )
             return with_tail(sched.add_noise(frames_latents, noise, 0), frames_latents)
 
         last_latents = (

@@ -100,6 +100,7 @@ def main():
         ucfg = UNet3DConfig(
             block_out_channels=(32, 32, 64, 64), layers_per_block=2,
             attention_heads=4, cross_attention_dim=text_dim, norm_num_groups=8,
+            time_cond_proj_dim=256 if lcm else None,
             motion=MotionModuleConfig(num_attention_heads=4),
         )
         vae_ch = (32, 64, 64, 64)

@@ -6,6 +6,9 @@ CLI, main.py:16-23).
   GET    /jobs       -> {"jobs": [{"id": ..., "status": ...}, ...]}
   GET    /jobs/<id>  -> {"status": "queued|running|done|failed|canceled",
                          "progress": {"windows": n, "frames_written": m}, ...}
+                        (parallel_segments>1 jobs report {"windows",
+                         "segments", "frames_generated"} instead —
+                         lockstep segments have no per-sink write order)
   DELETE /jobs/<id>  -> cancels a QUEUED job (409 once running: a window
                         program in flight on the chip cannot be revoked)
   GET    /healthz    -> ok
@@ -68,17 +71,22 @@ def worker() -> None:
 
                 pipeline = ControlAnimatePipeline(cfg)
                 _PIPE_CACHE[key] = pipeline
-            summary = vid2vid(
-                config=cfg, pipeline=pipeline,
-                # live progress: GET /jobs/<id> shows windows/frames so far
-                progress=lambda p, j=job: j.setdefault("progress", {}).update(p),
-            )
-            job["status"] = "done"
-            job["result"] = summary
+            def _progress(p, j=job):
+                # live progress: GET /jobs/<id> shows windows/frames so far.
+                # Mutations happen under _LOCK so handler threads can snapshot
+                # the job dict without hitting size-changed-during-iteration.
+                with _LOCK:
+                    j.setdefault("progress", {}).update(p)
+
+            summary = vid2vid(config=cfg, pipeline=pipeline, progress=_progress)
+            with _LOCK:
+                job["status"] = "done"
+                job["result"] = summary
         except Exception as e:  # report, keep serving
-            job["status"] = "failed"
-            job["error"] = f"{type(e).__name__}: {e}"
-            job["traceback"] = traceback.format_exc()
+            with _LOCK:
+                job["status"] = "failed"
+                job["error"] = f"{type(e).__name__}: {e}"
+                job["traceback"] = traceback.format_exc()
 
 
 class Handler(BaseHTTPRequestHandler):
@@ -105,16 +113,26 @@ class Handler(BaseHTTPRequestHandler):
             self._json(200, {"ok": True, "jobs": len(JOBS)})
             return
         if self.path == "/jobs":
-            self._json(200, {"jobs": [
-                {"id": jid, "status": j["status"]} for jid, j in JOBS.items()
-            ]})
+            with _LOCK:  # POST/worker threads mutate JOBS concurrently
+                listing = [
+                    {"id": jid, "status": j["status"]} for jid, j in JOBS.items()
+                ]
+            self._json(200, {"jobs": listing})
             return
         if self.path.startswith("/jobs/"):
-            job = JOBS.get(self.path.split("/")[-1])
+            with _LOCK:
+                job = JOBS.get(self.path.split("/")[-1])
+                if job is not None:
+                    # deep-snapshot: `progress` is updated by the worker while
+                    # we serialize, and json.dumps iterates nested dicts
+                    payload = {
+                        k: (dict(v) if isinstance(v, dict) else v)
+                        for k, v in job.items() if k != "config"
+                    }
             if job is None:
                 self._json(404, {"error": "unknown job"})
                 return
-            self._json(200, {k: v for k, v in job.items() if k != "config"})
+            self._json(200, payload)
             return
         self._json(404, {"error": "unknown path"})
 

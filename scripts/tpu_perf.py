@@ -6,6 +6,7 @@ Usage: python scripts/tpu_perf.py [attn] [unet] [vae] [window]
 
 from __future__ import annotations
 
+import dataclasses
 import sys
 import time
 from pathlib import Path
@@ -379,7 +380,7 @@ def bench_euler():
     # encoder propagation (arXiv:2312.09608, opt-in): non-key steps skip
     # conv_in/down/mid and run decoder-only against the key step's cache
     for reuse in (2, 3):
-        st_r = WindowStatic(**{**st.__dict__, "encoder_reuse_every": reuse})
+        st_r = dataclasses.replace(st, encoder_reuse_every=reuse)
         den_r = eng._make_denoise_fn(st_r, sched)
         tr = timeit(f"euler denoise [encoder-reuse n={reuse}]", den_r,
                     eng.m.unet_params, (), text, (), lat, key, iters=2)

@@ -595,7 +595,15 @@ def vid2vid(
         state.epoch += 1
         windows_run += 1
         if progress is not None:
-            progress({"windows": windows_run, "frames_written": frames_written})
+            # this window's emit is still deferred (device-resident): report
+            # the sink-accurate count so a live poller never trusts frames
+            # that would vanish on a crash; frames_generated includes the
+            # staged window
+            progress({
+                "windows": windows_run,
+                "frames_written": frames_written - emit,
+                "frames_generated": frames_written,
+            })
 
     # flush the last window's deferred emit; on an interrupted run (bounded
     # by max_windows, input remaining) save a final post-flush checkpoint so
@@ -620,6 +628,14 @@ def vid2vid(
     if not resumable and state.overlap_frames is not None and state.overlap_length:
         _emit(jnp.asarray(state.overlap_frames))
         frames_written += state.overlap_length
+    if progress is not None and windows_run:
+        # everything is flushed now — converge the live counters to the final
+        # summary values
+        progress({
+            "windows": windows_run,
+            "frames_written": frames_written,
+            "frames_generated": frames_written,
+        })
 
     trace_ctx.__exit__(None, None, None)
     if executor is not None:

@@ -156,6 +156,10 @@ def test_encoder_cache_split_is_exact():
                        encoder_cache=feats)
     assert bool(jnp.all(jnp.isfinite(out3)))
     assert not np.array_equal(np.asarray(out3), np.asarray(base))
+    # the cache is post-injection: fresh residuals alongside a cache would be
+    # silently dropped — must be rejected loudly instead
+    with pytest.raises(ValueError, match="encoder_cache"):
+        model.apply({"params": params}, x, t, ctx, encoder_cache=feats, **kw)
 
 
 def test_lcm_timestep_cond():
