@@ -119,21 +119,25 @@ def build_pipeline(cfg: RunConfig) -> ControlAnimatePipeline:
     return ControlAnimatePipeline(cfg, models=models, text_stack=TextStack(tok, tmodel, tparams))
 
 
-def measure_euler(pipeline, frames=16, size=512, steps=30) -> float:
+def measure_euler(pipeline, frames=16, size=512, steps=30, reuse=0) -> float:
     """The reference's default profile (SampleConfig: 30-step Euler, CFG
-    7.5): frames/sec through the engine's denoise+decode programs."""
+    7.5): frames/sec through the engine's denoise+decode programs.
+    reuse>1 additionally engages encoder propagation (arXiv:2312.09608,
+    RunConfig.encoder_reuse_every) — full UNet every `reuse`-th step."""
     from controlanimate_tpu.pipelines.engine import WindowStatic
 
     eng = pipeline.engine
     st = WindowStatic(
         scheduler_name="EulerDiscreteScheduler", steps=steps, guidance_scale=7.5,
         strength=1.0, frame_count=frames, height=size, width=size, output_uint8=True,
+        encoder_reuse_every=int(reuse),
     )
     sched = eng.build_scheduler(st)
     denoise = eng._make_denoise_fn(st, sched)
     decode = eng._make_decode_fn(True)
     key = jax.random.PRNGKey(0)
-    text = jax.random.normal(key, (2, 77, 768), jnp.bfloat16)
+    d_ctx = eng.m.unet.config.cross_attention_dim
+    text = jax.random.normal(key, (2, 77, d_ctx), jnp.bfloat16)
     lat = jax.random.normal(key, (1, frames, size // 8, size // 8, 4), jnp.float32)
 
     def window(lat):
@@ -298,18 +302,23 @@ def main(frames: int = 16, size: int = 512, steps: int = 4, iters: int = 16):
 
     # secondary metrics (VERDICT r2 #3/#5), headline stays the LAST line
     fps_euler = measure_euler(pipeline, frames=frames, size=size)
-    print(
-        json.dumps(
-            {
-                "metric": f"Euler 30-step CFG 7.5 frames/sec/chip ({size}px, {frames}-frame window; reference default profile)",
-                "value": round(fps_euler, 3),
-                "unit": "frames/sec/chip",
-                "lcm_speedup_multiple": round(fps / fps_euler, 1),
-                "reference_claim": "10X (README.md:16)",
-            }
-        ),
-        flush=True,
-    )
+    euler_line = {
+        "metric": f"Euler 30-step CFG 7.5 frames/sec/chip ({size}px, {frames}-frame window; reference default profile)",
+        "value": round(fps_euler, 3),
+        "unit": "frames/sec/chip",
+        "lcm_speedup_multiple": round(fps / fps_euler, 1),
+        "reference_claim": "10X (README.md:16)",
+    }
+    try:
+        # opt-in encoder propagation on the same profile (exact numerics
+        # stay the `value` above; this shows the acceleration headroom).
+        # Guarded: a failure here must not sink the cache-rebuilding bench.
+        fps_reuse = measure_euler(pipeline, frames=frames, size=size, reuse=2)
+        euler_line["encoder_reuse_every_2_fps"] = round(fps_reuse, 3)
+        euler_line["encoder_reuse_speedup"] = round(fps_reuse / fps_euler, 2)
+    except Exception as e:  # pragma: no cover - chip-only path
+        log(f"euler encoder-reuse measurement failed: {e!r}")
+    print(json.dumps(euler_line), flush=True)
     fps_o8 = measure_overlap8(pipeline, frames=24, size=size)
     print(
         json.dumps(
