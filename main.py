@@ -35,7 +35,32 @@ def main() -> None:
     args = parser.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    summary = vid2vid(args.config, max_windows=args.max_windows)
+
+    # graceful Ctrl-C: the first SIGINT requests a cooperative stop at the
+    # next window boundary (pending emits flush, a resumable checkpoint is
+    # saved — rerun with `resume: 1` to continue); a second SIGINT falls
+    # through to the default KeyboardInterrupt
+    import signal
+
+    stop = {"requested": False}
+    prev_handler = signal.getsignal(signal.SIGINT)
+
+    def _on_sigint(signum, frame):
+        if stop["requested"]:
+            signal.signal(signal.SIGINT, prev_handler)
+            raise KeyboardInterrupt
+        stop["requested"] = True
+        print(
+            "\nstopping at the next window boundary (checkpoint will be "
+            "saved; Ctrl-C again to abort immediately)",
+            file=sys.stderr, flush=True,
+        )
+
+    signal.signal(signal.SIGINT, _on_sigint)
+    summary = vid2vid(
+        args.config, max_windows=args.max_windows,
+        should_stop=lambda: stop["requested"],
+    )
     print(summary)
 
 

@@ -9,24 +9,33 @@ CLI, main.py:16-23).
                         (parallel_segments>1 jobs report {"windows",
                          "segments", "frames_generated"} instead —
                          lockstep segments have no per-sink write order)
-  DELETE /jobs/<id>  -> cancels a QUEUED job (409 once running: a window
-                        program in flight on the chip cannot be revoked)
+  DELETE /jobs/<id>  -> queued: canceled immediately (200). running: requests
+                        cooperative cancellation (202) — the worker stops at
+                        the next window boundary (a window program in flight
+                        on the chip cannot be revoked), flushes pending emits
+                        and saves a resumable checkpoint; the job ends
+                        "canceled" with the partial summary in `result`.
+                        done/failed/canceled: 409.
   GET    /healthz    -> ok
 
 One worker thread executes jobs sequentially (a single-chip TPU serves one
 window program at a time; scale-out is one process per chip/slice). Model
-stacks are cached across jobs keyed by their model-path signature, so
-repeat jobs skip weight ingestion and jit compilation.
+stacks are cached across jobs keyed by their model-path signature, so repeat
+jobs skip weight ingestion and jit compilation; the cache is a bounded LRU
+(CONTROLANIMATE_SERVE_PIPELINES, default 2) because each entry pins a full
+param stack in device HBM.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import queue
 import sys
 import threading
 import traceback
 import uuid
+from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 
@@ -37,8 +46,15 @@ if str(REPO_ROOT) not in sys.path:
 from controlanimate_tpu.config import RunConfig
 
 JOBS: dict[str, dict] = {}
+# cooperative-cancel events live OUTSIDE the job dicts (those are JSON-
+# serialized by GET handlers)
+_CANCEL_EVENTS: dict[str, threading.Event] = {}
 JOB_QUEUE: "queue.Queue[str]" = queue.Queue()
-_PIPE_CACHE: dict = {}
+# LRU: each cached pipeline pins a full model stack's params in device HBM
+# (~2-3 GB bf16 for the SD1.5 stack on a 16 GB v5e), so the cache must be
+# bounded — evicting drops the last reference and JAX frees the buffers
+_PIPE_CACHE: "OrderedDict[tuple, object]" = OrderedDict()
+PIPE_CACHE_MAX = int(os.environ.get("CONTROLANIMATE_SERVE_PIPELINES", "2"))
 _LOCK = threading.Lock()
 
 
@@ -60,17 +76,23 @@ def worker() -> None:
         job = JOBS[job_id]
         with _LOCK:
             if job["status"] == "canceled":
+                _CANCEL_EVENTS.pop(job_id, None)
                 continue
             job["status"] = "running"
         try:
             cfg = RunConfig.from_dict(job["config"])
             key = _pipeline_key(cfg)
+            # only this worker thread touches the cache — no lock needed
             pipeline = _PIPE_CACHE.get(key)
             if pipeline is None:
                 from controlanimate_tpu.pipelines.facade import ControlAnimatePipeline
 
                 pipeline = ControlAnimatePipeline(cfg)
                 _PIPE_CACHE[key] = pipeline
+                while len(_PIPE_CACHE) > max(1, PIPE_CACHE_MAX):
+                    _PIPE_CACHE.popitem(last=False)
+            else:
+                _PIPE_CACHE.move_to_end(key)
             def _progress(p, j=job):
                 # live progress: GET /jobs/<id> shows windows/frames so far.
                 # Mutations happen under _LOCK so handler threads can snapshot
@@ -78,15 +100,23 @@ def worker() -> None:
                 with _LOCK:
                     j.setdefault("progress", {}).update(p)
 
-            summary = vid2vid(config=cfg, pipeline=pipeline, progress=_progress)
+            cancel_ev = _CANCEL_EVENTS.get(job_id)
+            summary = vid2vid(
+                config=cfg, pipeline=pipeline, progress=_progress,
+                should_stop=cancel_ev.is_set if cancel_ev is not None else None,
+            )
             with _LOCK:
-                job["status"] = "done"
+                job["status"] = (
+                    "canceled" if summary.get("canceled") else "done"
+                )
                 job["result"] = summary
         except Exception as e:  # report, keep serving
             with _LOCK:
                 job["status"] = "failed"
                 job["error"] = f"{type(e).__name__}: {e}"
                 job["traceback"] = traceback.format_exc()
+        finally:
+            _CANCEL_EVENTS.pop(job_id, None)
 
 
 class Handler(BaseHTTPRequestHandler):
@@ -110,7 +140,10 @@ class Handler(BaseHTTPRequestHandler):
             self._json(401, {"error": "unauthorized"})
             return
         if self.path == "/healthz":
-            self._json(200, {"ok": True, "jobs": len(JOBS)})
+            self._json(200, {
+                "ok": True, "jobs": len(JOBS),
+                "pipelines_cached": len(_PIPE_CACHE),
+            })
             return
         if self.path == "/jobs":
             with _LOCK:  # POST/worker threads mutate JOBS concurrently
@@ -148,11 +181,20 @@ class Handler(BaseHTTPRequestHandler):
             self._json(404, {"error": "unknown job"})
             return
         with _LOCK:
-            if job["status"] != "queued":
-                self._json(409, {"error": f"job is {job['status']}, not queued"})
-                return
-            job["status"] = "canceled"
-        self._json(200, {"status": "canceled"})
+            status = job["status"]
+            if status == "queued":
+                job["status"] = "canceled"
+            elif status == "running":
+                ev = _CANCEL_EVENTS.get(self.path.split("/")[-1])
+                if ev is not None:
+                    ev.set()
+        if status == "queued":
+            self._json(200, {"status": "canceled"})
+        elif status == "running":
+            # cooperative: honored at the next window boundary
+            self._json(202, {"status": "cancel_requested"})
+        else:
+            self._json(409, {"error": f"job is {status}"})
 
     def do_POST(self):
         if not self._authorized():
@@ -174,6 +216,7 @@ class Handler(BaseHTTPRequestHandler):
         job_id = uuid.uuid4().hex[:12]
         with _LOCK:
             JOBS[job_id] = {"status": "queued", "config": cfg}
+            _CANCEL_EVENTS[job_id] = threading.Event()
         JOB_QUEUE.put(job_id)
         self._json(202, {"job_id": job_id})
 

@@ -144,13 +144,21 @@ def vid2vid(
     upscaler=None,
     max_windows: Optional[int] = None,
     progress=None,
+    should_stop=None,
 ) -> dict:
     """Run the full vid2vid loop. Returns a summary dict (frames written,
     output path, seed).
 
     `progress`, if given, is called after every window with a dict
     ({"windows": n, "frames_written": m, ...}) — live job status for
-    long-running callers (scripts/serve.py polls it via GET /jobs/<id>)."""
+    long-running callers (scripts/serve.py polls it via GET /jobs/<id>).
+
+    `should_stop`, if given, is polled at every window boundary (a window
+    program in flight on the chip cannot be revoked); a truthy return stops
+    the run cooperatively: pending emits flush, a resumable checkpoint is
+    saved exactly like a max_windows interruption, and the summary carries
+    `canceled: True`. In segment-parallel mode the run is all-or-nothing
+    (sink written at the end), so cancellation aborts without output."""
     cfg = config or RunConfig.from_yaml(config_path)
 
     # ---- geometry (reference: vid2vid.py:73-96) ----
@@ -288,7 +296,7 @@ def vid2vid(
             cfg, pipeline, frame_source, frame_sink, upscaler,
             sink_pix_fmt=sink_pix_fmt, upscale=upscale,
             out_w=out_w, out_h=out_h, max_windows=max_windows, seed=seed,
-            progress=progress,
+            progress=progress, should_stop=should_stop,
         )
         if own_sink:
             frame_sink.close()
@@ -428,6 +436,7 @@ def vid2vid(
 
     windows_run = 0
     source_exhausted = False
+    stop_requested = False
     pending_emit = None  # (packed_dev, to_yuv, start_idx, input_frames_for_dump)
 
     def _flush_emit():
@@ -476,6 +485,9 @@ def vid2vid(
     trace_ctx.__enter__()
     while True:
         if max_windows is not None and windows_run >= max_windows:
+            break
+        if should_stop is not None and should_stop():
+            stop_requested = True
             break
         overlap_inputs = list(state.overlap_input_frames)
         pre_cond = staged_input = None
@@ -609,7 +621,7 @@ def vid2vid(
     # by max_windows, input remaining) save a final post-flush checkpoint so
     # resume restarts exactly at the first unemitted window
     _flush_emit()
-    interrupted = (
+    interrupted = stop_requested or (
         max_windows is not None and windows_run >= max_windows
         and not source_exhausted
     )
@@ -687,6 +699,7 @@ def vid2vid(
         "seed": seed,
         "output": str(final_path if final_path.exists() else raw_video_path),
         "windows": windows_run,
+        "canceled": stop_requested,
         "timers": timers.summary(),
     }
 
@@ -705,6 +718,7 @@ def _run_segments(
     max_windows: Optional[int],
     seed: int,
     progress=None,
+    should_stop=None,
 ) -> dict:
     """Segment-parallel vid2vid (SURVEY §2.13: 'embarrassingly parallel
     across video segments with fixed seeds' — the reference is single-GPU
@@ -760,7 +774,7 @@ def _run_segments(
     T = len(frames)
     if T == 0:
         return {"frames_written": 0, "seed": seed, "output": "", "windows": 0,
-                "segments": S, "timers": timers.summary()}
+                "segments": S, "canceled": False, "timers": timers.summary()}
 
     per_seg = -(-T // S)  # ceil
     k = 1 if per_seg <= F else 1 + -(-(per_seg - F) // novel)
@@ -819,6 +833,16 @@ def _run_segments(
                 seg_buffers[s].append(packed[s])
 
     for w in range(k):
+        if should_stop is not None and should_stop():
+            # all-or-nothing mode (sink written at the end): abort without
+            # partial output; sequential mode is the resumable path
+            if pending is not None:
+                pending.result()
+            if executor is not None:
+                executor.shutdown(wait=True)
+            return {"frames_written": 0, "seed": seed, "output": "",
+                    "windows": w, "segments": S, "canceled": True,
+                    "timers": timers.summary()}
         if pending is not None:
             batch, pre_cond, staged = pending.result()
             pending = None
@@ -957,6 +981,7 @@ def _run_segments(
         "output": "",
         "windows": k,
         "segments": S,
+        "canceled": False,
         "timers": timers.summary(),
     }
 

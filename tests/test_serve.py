@@ -136,7 +136,9 @@ def test_job_list_and_cancellation(monkeypatch):
     code, resp = _delete(f"{base}/jobs/{j2}")
     assert code == 200 and resp["status"] == "canceled"
     code, resp = _delete(f"{base}/jobs/{j1}")
-    assert code == 409  # running: a window program in flight can't be revoked
+    # running: cooperative request (honored at a window boundary; this fake
+    # vid2vid ignores should_stop, so the job still completes as done)
+    assert code == 202 and resp["status"] == "cancel_requested"
     code, resp = _delete(f"{base}/jobs/nope")
     assert code == 404
 
@@ -155,8 +157,133 @@ def test_job_list_and_cancellation(monkeypatch):
     # the canceled job was skipped, not executed
     _, s2 = _get(f"{base}/jobs/{j2}")
     assert s2["status"] == "canceled" and "result" not in s2
+    # terminal job: cancel is a 409
+    code, resp = _delete(f"{base}/jobs/{j1}")
+    assert code == 409
     serve.JOB_QUEUE.put(None)
     httpd.shutdown()
+
+
+def test_running_job_cooperative_cancel(monkeypatch):
+    """DELETE on a RUNNING job requests cooperative cancellation: vid2vid
+    sees should_stop() at the next window boundary, returns a canceled
+    partial summary, and the job ends 'canceled' with that result."""
+    from scripts import serve
+
+    started = threading.Event()
+
+    def fake_vid2vid(config=None, pipeline=None, progress=None,
+                     should_stop=None, **kw):
+        started.set()
+        deadline = time.time() + 10
+        windows = 0
+        while time.time() < deadline:
+            if should_stop is not None and should_stop():
+                return {"frames_written": windows, "windows": windows,
+                        "seed": 0, "output": "", "canceled": True}
+            windows += 1
+            if progress is not None:
+                progress({"windows": windows})
+            time.sleep(0.02)
+        return {"frames_written": windows, "windows": windows, "seed": 0,
+                "output": "", "canceled": False}
+
+    class FakePipeline:
+        def __init__(self, cfg):
+            pass
+
+    monkeypatch.setattr("scripts.vid2vid.vid2vid", fake_vid2vid)
+    import controlanimate_tpu.pipelines.facade as facade
+
+    monkeypatch.setattr(facade, "ControlAnimatePipeline", FakePipeline)
+    serve._PIPE_CACHE.clear()
+
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), serve.Handler)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    threading.Thread(target=serve.worker, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    _, r = _post(f"{base}/jobs", {"config": {"prompt": "long"}})
+    jid = r["job_id"]
+    assert started.wait(timeout=10)
+
+    code, resp = _delete(f"{base}/jobs/{jid}")
+    assert code == 202 and resp["status"] == "cancel_requested"
+
+    deadline = time.time() + 10
+    s = None
+    while time.time() < deadline:
+        _, s = _get(f"{base}/jobs/{jid}")
+        if s["status"] in ("done", "failed", "canceled"):
+            break
+        time.sleep(0.05)
+    assert s["status"] == "canceled", s
+    # the partial summary is preserved
+    assert s["result"]["canceled"] is True
+    serve.JOB_QUEUE.put(None)
+    httpd.shutdown()
+
+
+def test_pipeline_cache_lru(monkeypatch):
+    """The pipeline cache is a bounded LRU: each entry pins a full param
+    stack in device HBM, so distinct model stacks must evict oldest-first
+    and repeat jobs must reuse (no rebuild)."""
+    from scripts import serve
+
+    built = []
+
+    def fake_vid2vid(config=None, pipeline=None, progress=None, **kw):
+        return {"frames_written": 1, "seed": 0, "output": "", "windows": 1}
+
+    class FakePipeline:
+        def __init__(self, cfg):
+            built.append(cfg.pretrained_model_path)
+
+    monkeypatch.setattr("scripts.vid2vid.vid2vid", fake_vid2vid)
+    import controlanimate_tpu.pipelines.facade as facade
+
+    monkeypatch.setattr(facade, "ControlAnimatePipeline", FakePipeline)
+    monkeypatch.setattr(serve, "PIPE_CACHE_MAX", 2)
+    serve._PIPE_CACHE.clear()
+
+    worker = threading.Thread(target=serve.worker, daemon=True)
+    worker.start()
+
+    def run_job(model):
+        jid = f"j-{model}-{len(built)}-{time.time_ns()}"
+        with serve._LOCK:
+            serve.JOBS[jid] = {
+                "status": "queued",
+                "config": {"prompt": "x", "pretrained_model_path": model},
+            }
+        serve.JOB_QUEUE.put(jid)
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            with serve._LOCK:
+                st = serve.JOBS[jid]["status"]
+            if st in ("done", "failed"):
+                return st
+            time.sleep(0.02)
+        return "timeout"
+
+    assert run_job("A") == "done" and run_job("B") == "done"
+    assert built == ["A", "B"] and len(serve._PIPE_CACHE) == 2
+    # C evicts A (oldest)
+    assert run_job("C") == "done"
+    assert built == ["A", "B", "C"] and len(serve._PIPE_CACHE) == 2
+    # B is cached (no rebuild) and becomes most-recent
+    assert run_job("B") == "done"
+    assert built == ["A", "B", "C"]
+    # A was evicted: rebuilt, and evicts C (B was touched more recently)
+    assert run_job("A") == "done"
+    assert built == ["A", "B", "C", "A"]
+    cached_models = [k[0] for k in serve._PIPE_CACHE]
+    assert cached_models == ["B", "A"]
+    serve.JOB_QUEUE.put(None)
+    worker.join(timeout=5)
 
 
 def test_bearer_token_auth():
