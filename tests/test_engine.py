@@ -574,6 +574,88 @@ def test_window_golden_lcm_vs_torch():
     assert err < 2e-3, err
 
 
+def test_window_golden_lcm_txt2vid_vs_torch():
+    """LCM txt2vid overlap window (no input frames — a capability the
+    reference's LCM prepare lacks, `torch.stack([])` raises at :592): the
+    last outputs' latents fill the overlap slots and the anchor pads the
+    rest (reference's non-LCM txt2vid treatment :595-604), then LCM noising
+    proceeds as usual. Oracles the engine branch end to end."""
+    tvae, vae, vae_params = _oracle_models()
+    tunet, unet_params = _oracle_unet(LCM_UCFG, seed=24)
+    models = EngineModels(
+        unet=UNet3DConditionModel(LCM_UCFG), unet_params=unet_params,
+        vae=vae, vae_params=vae_params,
+    )
+    eng = AnimationEngine(models, make_schedule())
+
+    B, F, H, W, K = 1, 4, 32, 32, 2
+    steps, strength, g, origin = 2, 0.9, 7.5, 8
+    rng = np.random.RandomState(2)
+    last_frames = rng.randint(0, 255, (B, K, H, W, 3), dtype=np.uint8)
+    ctx = rng.randn(B, 7, 16).astype(np.float32) * 0.5
+
+    st = WindowStatic(
+        scheduler_name="LCMScheduler", steps=steps, strength=strength,
+        guidance_scale=g, use_lcm=True, lcm_origin_steps=origin,
+        overlaps=K, has_last_output_frames=True,
+        frame_count=F, height=H, width=W,
+    )
+    key = jax.random.PRNGKey(9)
+    out_j = np.asarray(eng.generate_window(
+        st, jnp.asarray(ctx), key,
+        last_output_frames=jnp.asarray(last_frames),
+    ))
+
+    betas = np.linspace(0.00085, 0.012, 1000, dtype=np.float64)
+    abar = np.cumprod(1.0 - betas)
+    c = 1000 // origin
+    origin_ts = np.arange(1, int(origin * strength) + 1) * c - 1
+    skipping = max(len(origin_ts) // steps, 1)
+    ts = origin_ts[::-skipping][:steps].astype(np.int64)
+    ts_next = np.concatenate([ts[1:], [0]])
+    scaled = ts.astype(np.float64) * 10.0
+    c_skip = 0.5**2 / (scaled**2 + 0.5**2)
+    c_out = scaled / np.sqrt(scaled**2 + 0.5**2)
+
+    w = np.full((B,), g * 1000.0)
+    half = 4
+    emb = np.exp(np.arange(half) * -(np.log(10000.0) / (half - 1)))
+    emb = w[:, None] * emb[None]
+    w_emb = np.concatenate([np.sin(emb), np.cos(emb)], axis=1).astype(np.float32)
+
+    k_prep, k_loop = jax.random.split(key)
+    k_noise, k_in, k_out = jax.random.split(k_prep, 3)
+    lat_shape = (B, F, H // 8, W // 8, 4)
+    noise = np.asarray(jax.random.normal(k_noise, lat_shape, jnp.float32))
+    n_out = np.asarray(jax.random.normal(k_out, (B * K, H // 8, W // 8, 4), jnp.float32))
+
+    last_lat = _t_encode(tvae, last_frames, n_out)
+    anchor = last_lat[:, -1:]
+    source = np.concatenate(
+        [last_lat, np.broadcast_to(anchor, (B, F - K, *lat_shape[2:]))], axis=1
+    )
+    a0 = abar[ts[0]]
+    lat = np.sqrt(a0) * source + np.sqrt(1.0 - a0) * noise
+
+    for i, t in enumerate(ts):
+        eps = _t_unet(tunet, lat.astype(np.float32), t, ctx, w_emb=w_emb)
+        a_t = abar[t]
+        x0 = (lat - np.sqrt(1.0 - a_t) * eps) / np.sqrt(a_t)
+        denoised = c_out[i] * x0 + c_skip[i] * lat
+        if i == len(ts) - 1:
+            lat = denoised
+        else:
+            step_noise = np.asarray(jax.random.normal(
+                jax.random.fold_in(k_loop, i), lat.shape, jnp.float32
+            ))
+            a_n = abar[ts_next[i]]
+            lat = np.sqrt(a_n) * denoised + np.sqrt(1.0 - a_n) * step_noise
+
+    out_t = _t_decode(tvae, lat.astype(np.float32))
+    err = np.abs(out_j - out_t).max()
+    assert err < 2e-3, err
+
+
 def test_chunked_decode_matches_whole_window(engine):
     """decode_chunk bounds VAE peak HBM via lax.map; frames are independent
     so outputs must be identical."""
