@@ -2,13 +2,15 @@
 code `python main.py --config ...` drives). Full SD1.5-geometry AnimateDiff
 UNet3D (motion modules v2) + VAE, bfloat16, single chip.
 
-Emits THREE JSON lines on stdout (diagnostics on stderr), headline LAST:
+Emits JSON lines on stdout (diagnostics on stderr), headline LAST:
   1. the reference's default profile: 30-step Euler CFG 7.5, with the
      measured LCM speedup multiple (the reference README claims "10X");
-  2. the shipped-profile configuration: overlap-8 sliding windows through
+  2. (best-effort) the same profile with opt-in encoder propagation
+     (reuse_every=2) — acceleration headroom, approximate numerics;
+  3. the shipped-profile configuration: overlap-8 sliding windows through
      the FULL orchestrator (scripts/vid2vid.py) at frame_count 24,
      counting only frames actually emitted to the sink;
-  3. headline (driver metric, BASELINE.json): LCM vid2vid frames/sec/chip,
+  4. headline (driver metric, BASELINE.json): LCM vid2vid frames/sec/chip,
      512px 16-frame window, 4 steps. North star >=10 (vs_baseline = /10).
 """
 
@@ -300,25 +302,41 @@ def main(frames: int = 16, size: int = 512, steps: int = 4, iters: int = 16):
     fps = frames * iters / total
     log(f"sustained: {iters} windows in {total:.2f}s")
 
-    # secondary metrics (VERDICT r2 #3/#5), headline stays the LAST line
+    # secondary metrics (VERDICT r2 #3/#5), headline stays the LAST line.
+    # The exact-numerics baseline prints BEFORE the reuse attempt: the
+    # reuse run compiles a new denoise program, and a tunnel stall there
+    # must not lose the already-measured baseline.
     fps_euler = measure_euler(pipeline, frames=frames, size=size)
-    euler_line = {
-        "metric": f"Euler 30-step CFG 7.5 frames/sec/chip ({size}px, {frames}-frame window; reference default profile)",
-        "value": round(fps_euler, 3),
-        "unit": "frames/sec/chip",
-        "lcm_speedup_multiple": round(fps / fps_euler, 1),
-        "reference_claim": "10X (README.md:16)",
-    }
+    print(
+        json.dumps(
+            {
+                "metric": f"Euler 30-step CFG 7.5 frames/sec/chip ({size}px, {frames}-frame window; reference default profile)",
+                "value": round(fps_euler, 3),
+                "unit": "frames/sec/chip",
+                "lcm_speedup_multiple": round(fps / fps_euler, 1),
+                "reference_claim": "10X (README.md:16)",
+            }
+        ),
+        flush=True,
+    )
     try:
         # opt-in encoder propagation on the same profile (exact numerics
-        # stay the `value` above; this shows the acceleration headroom).
+        # stay the line above; this shows the acceleration headroom).
         # Guarded: a failure here must not sink the cache-rebuilding bench.
         fps_reuse = measure_euler(pipeline, frames=frames, size=size, reuse=2)
-        euler_line["encoder_reuse_every_2_fps"] = round(fps_reuse, 3)
-        euler_line["encoder_reuse_speedup"] = round(fps_reuse / fps_euler, 2)
+        print(
+            json.dumps(
+                {
+                    "metric": f"Euler 30-step with encoder propagation (reuse_every=2, arXiv:2312.09608; opt-in approximation, same window)",
+                    "value": round(fps_reuse, 3),
+                    "unit": "frames/sec/chip",
+                    "speedup_vs_exact_euler": round(fps_reuse / fps_euler, 2),
+                }
+            ),
+            flush=True,
+        )
     except Exception as e:  # pragma: no cover - chip-only path
         log(f"euler encoder-reuse measurement failed: {e!r}")
-    print(json.dumps(euler_line), flush=True)
     fps_o8 = measure_overlap8(pipeline, frames=24, size=size)
     print(
         json.dumps(

@@ -50,10 +50,16 @@ def main() -> None:
             signal.signal(signal.SIGINT, prev_handler)
             raise KeyboardInterrupt
         stop["requested"] = True
-        print(
-            "\nstopping at the next window boundary (checkpoint will be "
-            "saved; Ctrl-C again to abort immediately)",
-            file=sys.stderr, flush=True,
+        # os.write, not print: the handler can fire while the main thread is
+        # mid-write to the same buffered stream, and a reentrant buffered
+        # write raises RuntimeError — killing the run the handler exists to
+        # stop gracefully
+        import os
+
+        os.write(
+            2,
+            b"\nstopping at the next window boundary (checkpoint will be "
+            b"saved; Ctrl-C again to abort immediately)\n",
         )
 
     signal.signal(signal.SIGINT, _on_sigint)

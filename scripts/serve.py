@@ -13,9 +13,12 @@ CLI, main.py:16-23).
                         cooperative cancellation (202) — the worker stops at
                         the next window boundary (a window program in flight
                         on the chip cannot be revoked), flushes pending emits
-                        and saves a resumable checkpoint; the job ends
-                        "canceled" with the partial summary in `result`.
-                        done/failed/canceled: 409.
+                        and, when the job's checkpoint_interval > 0 (the
+                        default), saves a resumable checkpoint; with
+                        checkpointing disabled the tail overlap is emitted
+                        instead (complete output up to the stop point, not
+                        resumable). The job ends "canceled" with the partial
+                        summary in `result`. done/failed/canceled: 409.
   GET    /healthz    -> ok
 
 One worker thread executes jobs sequentially (a single-chip TPU serves one
@@ -87,10 +90,12 @@ def worker() -> None:
             if pipeline is None:
                 from controlanimate_tpu.pipelines.facade import ControlAnimatePipeline
 
+                # evict BEFORE building: otherwise peak HBM transiently holds
+                # MAX+1 param stacks — the very overflow the bound prevents
+                while len(_PIPE_CACHE) >= max(1, PIPE_CACHE_MAX):
+                    _PIPE_CACHE.popitem(last=False)
                 pipeline = ControlAnimatePipeline(cfg)
                 _PIPE_CACHE[key] = pipeline
-                while len(_PIPE_CACHE) > max(1, PIPE_CACHE_MAX):
-                    _PIPE_CACHE.popitem(last=False)
             else:
                 _PIPE_CACHE.move_to_end(key)
             def _progress(p, j=job):
@@ -176,7 +181,8 @@ class Handler(BaseHTTPRequestHandler):
         if not self.path.startswith("/jobs/"):
             self._json(404, {"error": "unknown path"})
             return
-        job = JOBS.get(self.path.split("/")[-1])
+        job_id = self.path.split("/")[-1]
+        job = JOBS.get(job_id)
         if job is None:
             self._json(404, {"error": "unknown job"})
             return
@@ -184,17 +190,21 @@ class Handler(BaseHTTPRequestHandler):
             status = job["status"]
             if status == "queued":
                 job["status"] = "canceled"
+                reply = (200, {"status": "canceled"})
             elif status == "running":
-                ev = _CANCEL_EVENTS.get(self.path.split("/")[-1])
+                ev = _CANCEL_EVENTS.get(job_id)
                 if ev is not None:
+                    # cooperative: honored at the next window boundary
                     ev.set()
-        if status == "queued":
-            self._json(200, {"status": "canceled"})
-        elif status == "running":
-            # cooperative: honored at the next window boundary
-            self._json(202, {"status": "cancel_requested"})
-        else:
-            self._json(409, {"error": f"job is {status}"})
+                    reply = (202, {"status": "cancel_requested"})
+                else:
+                    # running but never registered for cancellation (job
+                    # injected without POST): claiming 202 would leave the
+                    # client polling forever
+                    reply = (409, {"error": "job is running and not cancelable"})
+            else:
+                reply = (409, {"error": f"job is {status}"})
+        self._json(*reply)
 
     def do_POST(self):
         if not self._authorized():

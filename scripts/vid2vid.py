@@ -486,9 +486,6 @@ def vid2vid(
     while True:
         if max_windows is not None and windows_run >= max_windows:
             break
-        if should_stop is not None and should_stop():
-            stop_requested = True
-            break
         overlap_inputs = list(state.overlap_input_frames)
         pre_cond = staged_input = None
         if pending_prefetch is not None:
@@ -510,6 +507,15 @@ def vid2vid(
                 int(cfg.total_frames), cfg.frame_count
             ):
                 break
+        # cancel check comes AFTER the natural-completion breaks: a stop
+        # request landing during the final window must not mark a fully
+        # complete run canceled (which would hold back its tail emit and
+        # demand a no-op resume pass just to flush it). Frames a prefetch
+        # already pulled are not yet counted as consumed, so a resumed run
+        # re-reads them.
+        if should_stop is not None and should_stop():
+            stop_requested = True
+            break
         nonlocal_consumed[0] += len(new_frames)
 
         batch = overlap_inputs + new_frames
@@ -840,6 +846,10 @@ def _run_segments(
                 pending.result()
             if executor is not None:
                 executor.shutdown(wait=True)
+            if progress is not None:
+                # converge the live counters: the generated windows are
+                # DISCARDED, so a poller must not believe output exists
+                progress({"windows": w, "segments": S, "frames_generated": 0})
             return {"frames_written": 0, "seed": seed, "output": "",
                     "windows": w, "segments": S, "canceled": True,
                     "timers": timers.summary()}
