@@ -20,6 +20,8 @@ CLI, main.py:16-23).
                         resumable). The job ends "canceled" with the partial
                         summary in `result`. done/failed/canceled: 409.
   GET    /healthz    -> ok
+  GET    /metrics    -> Prometheus text: jobs by status, pipeline-cache
+                        occupancy, frames written
 
 One worker thread executes jobs sequentially (a single-chip TPU serves one
 window program at a time; scale-out is one process per chip/slice). Model
@@ -149,6 +151,35 @@ class Handler(BaseHTTPRequestHandler):
                 "ok": True, "jobs": len(JOBS),
                 "pipelines_cached": len(_PIPE_CACHE),
             })
+            return
+        if self.path == "/metrics":
+            # Prometheus text exposition (no client library needed): job
+            # counts by status, cache occupancy, frames emitted so far
+            with _LOCK:
+                by_status: dict[str, int] = {}
+                frames = 0
+                for j in JOBS.values():
+                    by_status[j["status"]] = by_status.get(j["status"], 0) + 1
+                    src = j.get("result") or j.get("progress") or {}
+                    frames += int(src.get("frames_written", 0))
+                cached = len(_PIPE_CACHE)
+            lines = [
+                "# TYPE controlanimate_jobs gauge",
+                *(
+                    f'controlanimate_jobs{{status="{s}"}} {n}'
+                    for s, n in sorted(by_status.items())
+                ),
+                "# TYPE controlanimate_pipelines_cached gauge",
+                f"controlanimate_pipelines_cached {cached}",
+                "# TYPE controlanimate_frames_written_total counter",
+                f"controlanimate_frames_written_total {frames}",
+            ]
+            body = ("\n".join(lines) + "\n").encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
             return
         if self.path == "/jobs":
             with _LOCK:  # POST/worker threads mutate JOBS concurrently

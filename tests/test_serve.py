@@ -286,6 +286,57 @@ def test_pipeline_cache_lru(monkeypatch):
     worker.join(timeout=5)
 
 
+def test_metrics_endpoint(monkeypatch):
+    """GET /metrics: Prometheus text exposition with job-status gauges and
+    the frames-written counter (pulled from results/progress)."""
+    import urllib.request
+
+    from scripts import serve
+
+    def fake_vid2vid(config=None, pipeline=None, progress=None, **kw):
+        return {"frames_written": 7, "seed": 0, "output": "", "windows": 2}
+
+    class FakePipeline:
+        def __init__(self, cfg):
+            pass
+
+    monkeypatch.setattr("scripts.vid2vid.vid2vid", fake_vid2vid)
+    import controlanimate_tpu.pipelines.facade as facade
+
+    monkeypatch.setattr(facade, "ControlAnimatePipeline", FakePipeline)
+    serve._PIPE_CACHE.clear()
+
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), serve.Handler)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    threading.Thread(target=serve.worker, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    _, r = _post(f"{base}/jobs", {"config": {"prompt": "m"}})
+    jid = r["job_id"]
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        _, s = _get(f"{base}/jobs/{jid}")
+        if s["status"] == "done":
+            break
+        time.sleep(0.05)
+
+    with urllib.request.urlopen(f"{base}/metrics") as resp:
+        assert resp.headers["Content-Type"].startswith("text/plain")
+        text = resp.read().decode()
+    assert 'controlanimate_jobs{status="done"} ' in text
+    assert "controlanimate_pipelines_cached 1" in text
+    # counts this job's 7 frames (plus any left by earlier tests sharing
+    # the module-global JOBS)
+    total = [l for l in text.splitlines()
+             if l.startswith("controlanimate_frames_written_total")]
+    assert total and int(total[0].split()[-1]) >= 7
+    serve.JOB_QUEUE.put(None)
+    httpd.shutdown()
+
+
 def test_bearer_token_auth():
     """When a token is configured, unauthenticated requests get 401 and
     Bearer-authenticated ones pass (serve.py binds loopback by default and
