@@ -265,13 +265,39 @@ class Handler(BaseHTTPRequestHandler):
         pass
 
 
+def graceful_shutdown(httpd, worker_thread, timeout: float = 3600.0) -> None:
+    """SIGTERM path: cancel every queued job, request a cooperative stop of
+    the running one (it checkpoints at the next window boundary), retire the
+    worker, then stop accepting requests."""
+    with _LOCK:
+        for j in JOBS.values():
+            if j["status"] == "queued":
+                # don't let the worker build a pipeline just to cancel it
+                j["status"] = "canceled"
+        for ev in _CANCEL_EVENTS.values():
+            ev.set()
+    JOB_QUEUE.put(None)
+    worker_thread.join(timeout)
+    httpd.shutdown()
+
+
 def serve(port: int = 8000, host: str = "127.0.0.1", token: str | None = None):
     """Job configs control filesystem paths and consume the TPU, so the
     default bind is loopback-only; pass --host 0.0.0.0 plus --token to expose
     it (requests must then send `Authorization: Bearer <token>`)."""
     Handler.auth_token = token
-    threading.Thread(target=worker, daemon=True).start()
+    worker_thread = threading.Thread(target=worker, daemon=True)
+    worker_thread.start()
     httpd = ThreadingHTTPServer((host, port), Handler)
+
+    import signal
+
+    signal.signal(
+        signal.SIGTERM,
+        lambda s, f: threading.Thread(
+            target=graceful_shutdown, args=(httpd, worker_thread), daemon=True
+        ).start(),
+    )
     print(f"serving on {host}:{port}", flush=True)
     httpd.serve_forever()
 

@@ -337,6 +337,64 @@ def test_metrics_endpoint(monkeypatch):
     httpd.shutdown()
 
 
+def test_graceful_shutdown(monkeypatch):
+    """SIGTERM path (graceful_shutdown): queued jobs cancel without pipeline
+    builds, the running job stops cooperatively at its window boundary with
+    the partial summary, the worker retires, and the server stops."""
+    from scripts import serve
+
+    started = threading.Event()
+    built = []
+
+    def fake_vid2vid(config=None, pipeline=None, progress=None,
+                     should_stop=None, **kw):
+        started.set()
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            if should_stop is not None and should_stop():
+                return {"frames_written": 3, "windows": 1, "seed": 0,
+                        "output": "", "canceled": True}
+            time.sleep(0.02)
+        return {"frames_written": 9, "windows": 3, "seed": 0, "output": "",
+                "canceled": False}
+
+    class FakePipeline:
+        def __init__(self, cfg):
+            built.append(cfg.pretrained_model_path)
+
+    monkeypatch.setattr("scripts.vid2vid.vid2vid", fake_vid2vid)
+    import controlanimate_tpu.pipelines.facade as facade
+
+    monkeypatch.setattr(facade, "ControlAnimatePipeline", FakePipeline)
+    serve._PIPE_CACHE.clear()
+
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), serve.Handler)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    worker_thread = threading.Thread(target=serve.worker, daemon=True)
+    worker_thread.start()
+    base = f"http://127.0.0.1:{port}"
+
+    _, r1 = _post(f"{base}/jobs", {"config": {"prompt": "running",
+                                              "pretrained_model_path": "R"}})
+    assert started.wait(timeout=10)
+    _, r2 = _post(f"{base}/jobs", {"config": {"prompt": "queued",
+                                              "pretrained_model_path": "Q"}})
+
+    serve.graceful_shutdown(httpd, worker_thread, timeout=15)
+    assert not worker_thread.is_alive()
+
+    with serve._LOCK:
+        s_run = serve.JOBS[r1["job_id"]]
+        s_q = serve.JOBS[r2["job_id"]]
+    assert s_run["status"] == "canceled"
+    assert s_run["result"]["canceled"] is True  # window-boundary stop
+    assert s_q["status"] == "canceled" and "result" not in s_q
+    assert built == ["R"]  # the queued job never built a pipeline
+
+
 def test_bearer_token_auth():
     """When a token is configured, unauthenticated requests get 401 and
     Bearer-authenticated ones pass (serve.py binds loopback by default and
