@@ -29,6 +29,10 @@ stacks are cached across jobs keyed by their model-path signature, so repeat
 jobs skip weight ingestion and jit compilation; the cache is a bounded LRU
 (CONTROLANIMATE_SERVE_PIPELINES, default 2) because each entry pins a full
 param stack in device HBM.
+
+--journal <path> adds crash-safe job persistence: a JSONL of submissions and
+status transitions, replayed on start — queued jobs re-queue, mid-run jobs
+resume from their epoch checkpoints, SIGTERM-interrupted jobs likewise.
 """
 
 from __future__ import annotations
@@ -61,6 +65,71 @@ JOB_QUEUE: "queue.Queue[str]" = queue.Queue()
 _PIPE_CACHE: "OrderedDict[tuple, object]" = OrderedDict()
 PIPE_CACHE_MAX = int(os.environ.get("CONTROLANIMATE_SERVE_PIPELINES", "2"))
 _LOCK = threading.Lock()
+# optional crash-safe job journal (--journal): submissions and status
+# transitions append JSON lines; on restart, replay_journal() re-queues
+# interrupted jobs (resuming from their epoch checkpoints when present)
+JOURNAL_PATH: Path | None = None
+# distinguishes a user cancel (terminal) from a shutdown stop (re-queue on
+# restart) when the worker records the outcome
+_SHUTTING_DOWN = threading.Event()
+
+
+def _journal(rec: dict) -> None:
+    """Append one JSON line. Callers hold _LOCK, keeping the line order
+    consistent with the in-memory transition it records."""
+    if JOURNAL_PATH is None:
+        return
+    with open(JOURNAL_PATH, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def load_journal(path) -> dict[str, dict]:
+    """Fold the journal into the last-known state per job. Torn tail lines
+    (a crash mid-append) are skipped, not fatal."""
+    jobs: dict[str, dict] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if rec.get("op") == "submit":
+                jobs[rec["id"]] = {"status": "queued", "config": rec["config"]}
+            elif rec.get("op") == "status" and rec.get("id") in jobs:
+                jobs[rec["id"]]["status"] = rec["status"]
+    return jobs
+
+
+def replay_journal(path) -> list[str]:
+    """Rebuild JOBS from a journal after a crash/restart: terminal jobs are
+    restored for listing; queued/running ones are re-queued — a job that was
+    mid-run resumes from its epoch checkpoint when one exists (sequential
+    mode writes stitch_state.npz; vid2vid re-reads the input and restarts at
+    the first unemitted window)."""
+    from scripts.vid2vid import STATE_FILE
+
+    requeued = []
+    for jid, job in load_journal(path).items():
+        status = job["status"]
+        if status in ("queued", "running", "interrupted"):
+            cfg = dict(job["config"])
+            if status in ("running", "interrupted") and not cfg.get("parallel_segments"):
+                out_dir = RunConfig.from_dict(cfg).output_video_dir
+                if (Path(out_dir) / STATE_FILE).exists():
+                    cfg["resume"] = 1
+            with _LOCK:
+                JOBS[jid] = {"status": "queued", "config": cfg}
+                _CANCEL_EVENTS[jid] = threading.Event()
+                _journal({"op": "status", "id": jid, "status": "queued"})
+            JOB_QUEUE.put(jid)
+            requeued.append(jid)
+        else:
+            with _LOCK:
+                JOBS[jid] = job
+    return requeued
 
 
 def _pipeline_key(cfg: RunConfig) -> tuple:
@@ -84,6 +153,7 @@ def worker() -> None:
                 _CANCEL_EVENTS.pop(job_id, None)
                 continue
             job["status"] = "running"
+            _journal({"op": "status", "id": job_id, "status": "running"})
         try:
             cfg = RunConfig.from_dict(job["config"])
             key = _pipeline_key(cfg)
@@ -117,11 +187,23 @@ def worker() -> None:
                     "canceled" if summary.get("canceled") else "done"
                 )
                 job["result"] = summary
+                # a shutdown-stopped job is not user-canceled: journal it
+                # "interrupted" so a restarted server re-queues it (resuming
+                # from its checkpoint)
+                _journal({
+                    "op": "status", "id": job_id,
+                    "status": (
+                        "interrupted"
+                        if job["status"] == "canceled" and _SHUTTING_DOWN.is_set()
+                        else job["status"]
+                    ),
+                })
         except Exception as e:  # report, keep serving
             with _LOCK:
                 job["status"] = "failed"
                 job["error"] = f"{type(e).__name__}: {e}"
                 job["traceback"] = traceback.format_exc()
+                _journal({"op": "status", "id": job_id, "status": "failed"})
         finally:
             _CANCEL_EVENTS.pop(job_id, None)
 
@@ -221,6 +303,7 @@ class Handler(BaseHTTPRequestHandler):
             status = job["status"]
             if status == "queued":
                 job["status"] = "canceled"
+                _journal({"op": "status", "id": job_id, "status": "canceled"})
                 reply = (200, {"status": "canceled"})
             elif status == "running":
                 ev = _CANCEL_EVENTS.get(job_id)
@@ -258,6 +341,7 @@ class Handler(BaseHTTPRequestHandler):
         with _LOCK:
             JOBS[job_id] = {"status": "queued", "config": cfg}
             _CANCEL_EVENTS[job_id] = threading.Event()
+            _journal({"op": "submit", "id": job_id, "config": cfg})
         JOB_QUEUE.put(job_id)
         self._json(202, {"job_id": job_id})
 
@@ -269,10 +353,13 @@ def graceful_shutdown(httpd, worker_thread, timeout: float = 3600.0) -> None:
     """SIGTERM path: cancel every queued job, request a cooperative stop of
     the running one (it checkpoints at the next window boundary), retire the
     worker, then stop accepting requests."""
+    _SHUTTING_DOWN.set()
     with _LOCK:
-        for j in JOBS.values():
+        for jid, j in JOBS.items():
             if j["status"] == "queued":
-                # don't let the worker build a pipeline just to cancel it
+                # don't let the worker build a pipeline just to cancel it.
+                # Deliberately NOT journaled: the journal keeps them
+                # "queued" so a restarted server re-queues them.
                 j["status"] = "canceled"
         for ev in _CANCEL_EVENTS.values():
             ev.set()
@@ -281,11 +368,24 @@ def graceful_shutdown(httpd, worker_thread, timeout: float = 3600.0) -> None:
     httpd.shutdown()
 
 
-def serve(port: int = 8000, host: str = "127.0.0.1", token: str | None = None):
+def serve(port: int = 8000, host: str = "127.0.0.1", token: str | None = None,
+          journal: str | None = None):
     """Job configs control filesystem paths and consume the TPU, so the
     default bind is loopback-only; pass --host 0.0.0.0 plus --token to expose
-    it (requests must then send `Authorization: Bearer <token>`)."""
+    it (requests must then send `Authorization: Bearer <token>`).
+
+    `journal` enables crash-safe job persistence: submissions and status
+    transitions append to the JSONL file, and on start any jobs the journal
+    shows as queued/running/interrupted are re-queued (mid-run jobs resume
+    from their epoch checkpoints)."""
+    global JOURNAL_PATH
     Handler.auth_token = token
+    if journal:
+        JOURNAL_PATH = Path(journal)
+        if JOURNAL_PATH.exists():
+            requeued = replay_journal(JOURNAL_PATH)
+            if requeued:
+                print(f"re-queued {len(requeued)} journaled job(s)", flush=True)
     worker_thread = threading.Thread(target=worker, daemon=True)
     worker_thread.start()
     httpd = ThreadingHTTPServer((host, port), Handler)
@@ -309,7 +409,15 @@ if __name__ == "__main__":
     ap.add_argument("port", nargs="?", type=int, default=8000)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--token", default=None, help="shared-secret bearer token")
+    ap.add_argument("--journal", default=None,
+                    help="JSONL job journal for crash-safe restart/resume")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu), as in main.py")
     a = ap.parse_args()
     if a.host not in ("127.0.0.1", "localhost", "::1") and not a.token:
         ap.error("--token is required when binding beyond loopback")
-    serve(a.port, a.host, a.token)
+    if a.platform:
+        import jax
+
+        jax.config.update("jax_platforms", a.platform)
+    serve(a.port, a.host, a.token, a.journal)

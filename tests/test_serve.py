@@ -395,6 +395,103 @@ def test_graceful_shutdown(monkeypatch):
     assert built == ["R"]  # the queued job never built a pipeline
 
 
+def test_journal_replay_after_crash(monkeypatch, tmp_path):
+    """Crash-safe restart: the journal re-queues queued/running/interrupted
+    jobs (mid-run jobs get resume=1 when their checkpoint exists), keeps
+    terminal jobs for listing, and tolerates a torn tail line."""
+    import json as _json
+
+    from scripts import serve
+
+    out_dir = tmp_path / "job_a_out"
+    out_dir.mkdir()
+    (out_dir / "stitch_state.npz").write_bytes(b"x")  # checkpoint exists
+
+    journal = tmp_path / "jobs.jsonl"
+    lines = [
+        {"op": "submit", "id": "aaa", "config": {
+            "prompt": "a", "output_video_dir": str(out_dir)}},
+        {"op": "status", "id": "aaa", "status": "running"},
+        {"op": "submit", "id": "bbb", "config": {"prompt": "b"}},
+        {"op": "submit", "id": "ccc", "config": {"prompt": "c"}},
+        {"op": "status", "id": "ccc", "status": "running"},
+        {"op": "status", "id": "ccc", "status": "done"},
+        {"op": "submit", "id": "ddd", "config": {"prompt": "d"}},
+        {"op": "status", "id": "ddd", "status": "running"},
+        {"op": "status", "id": "ddd", "status": "interrupted"},
+    ]
+    with open(journal, "w") as f:
+        for rec in lines:
+            f.write(_json.dumps(rec) + "\n")
+        f.write('{"op": "subm')  # torn tail write (crash mid-append)
+
+    monkeypatch.setattr(serve, "JOBS", {})
+    monkeypatch.setattr(serve, "_CANCEL_EVENTS", {})
+    monkeypatch.setattr(serve, "JOB_QUEUE", __import__("queue").Queue())
+    monkeypatch.setattr(serve, "JOURNAL_PATH", journal)
+
+    requeued = serve.replay_journal(journal)
+    # aaa was mid-run with a checkpoint -> re-queued with resume
+    # bbb was queued -> re-queued as-is
+    # ccc finished -> restored for listing only
+    # ddd was SIGTERM-interrupted (no checkpoint) -> re-queued fresh
+    assert sorted(requeued) == ["aaa", "bbb", "ddd"]
+    assert serve.JOBS["aaa"]["config"].get("resume") == 1
+    assert "resume" not in serve.JOBS["bbb"]["config"]
+    assert "resume" not in serve.JOBS["ddd"]["config"]
+    assert serve.JOBS["ccc"]["status"] == "done"
+    ids = set()
+    while not serve.JOB_QUEUE.empty():
+        ids.add(serve.JOB_QUEUE.get())
+    assert ids == {"aaa", "bbb", "ddd"}
+    # the requeue itself was journaled, so a second replay behaves the same
+    assert sorted(serve.replay_journal(journal)) == ["aaa", "bbb", "ddd"]
+
+
+def test_journal_records_lifecycle(monkeypatch, tmp_path):
+    """POST/worker/DELETE transitions append to the journal."""
+    from scripts import serve
+
+    journal = tmp_path / "jobs.jsonl"
+    monkeypatch.setattr(serve, "JOURNAL_PATH", journal)
+
+    def fake_vid2vid(config=None, pipeline=None, progress=None, **kw):
+        return {"frames_written": 1, "seed": 0, "output": "", "windows": 1}
+
+    class FakePipeline:
+        def __init__(self, cfg):
+            pass
+
+    monkeypatch.setattr("scripts.vid2vid.vid2vid", fake_vid2vid)
+    import controlanimate_tpu.pipelines.facade as facade
+
+    monkeypatch.setattr(facade, "ControlAnimatePipeline", FakePipeline)
+
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), serve.Handler)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    threading.Thread(target=serve.worker, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    _, r = _post(f"{base}/jobs", {"config": {"prompt": "j"}})
+    jid = r["job_id"]
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        _, s = _get(f"{base}/jobs/{jid}")
+        if s["status"] == "done":
+            break
+        time.sleep(0.05)
+    assert s["status"] == "done"
+
+    states = serve.load_journal(journal)
+    assert states[jid]["status"] == "done"
+    assert states[jid]["config"] == {"prompt": "j"}
+    serve.JOB_QUEUE.put(None)
+    httpd.shutdown()
+
+
 def test_bearer_token_auth():
     """When a token is configured, unauthenticated requests get 401 and
     Bearer-authenticated ones pass (serve.py binds loopback by default and
