@@ -227,10 +227,16 @@ class ArrayFrameSink(FrameSink):
 
 
 class DirectoryFrameSink(FrameSink):
-    def __init__(self, directory: str):
+    """Numbered-PNG sink (ffmpeg-less output). `start_index` lets a resumed
+    run append after the frames its previous segment already wrote — the
+    directory plays the role the per-segment mp4 files + concat play on the
+    ffmpeg path; without it a resume would overwrite 0001..N with the
+    post-checkpoint frames."""
+
+    def __init__(self, directory: str, start_index: int = 0):
         self.dir = Path(directory)
         self.dir.mkdir(parents=True, exist_ok=True)
-        self._i = 0
+        self._i = int(start_index)
 
     def write(self, frame: np.ndarray) -> None:
         from PIL import Image

@@ -84,8 +84,10 @@ def _journal(rec: dict) -> None:
 
 
 def load_journal(path) -> dict[str, dict]:
-    """Fold the journal into the last-known state per job. Torn tail lines
-    (a crash mid-append) are skipped, not fatal."""
+    """Fold the journal into the last-known state per job. Malformed lines —
+    a torn tail from a crash mid-append, hand edits, records from another
+    schema version — are skipped, never fatal: the journal exists for crash
+    recovery, so reading it must not be able to crash the server."""
     jobs: dict[str, dict] = {}
     with open(path) as f:
         for line in f:
@@ -94,12 +96,14 @@ def load_journal(path) -> dict[str, dict]:
                 continue
             try:
                 rec = json.loads(line)
-            except ValueError:
+                if rec.get("op") == "submit":
+                    jobs[rec["id"]] = {
+                        "status": "queued", "config": rec["config"],
+                    }
+                elif rec.get("op") == "status" and rec.get("id") in jobs:
+                    jobs[rec["id"]]["status"] = rec["status"]
+            except (ValueError, KeyError, TypeError):
                 continue
-            if rec.get("op") == "submit":
-                jobs[rec["id"]] = {"status": "queued", "config": rec["config"]}
-            elif rec.get("op") == "status" and rec.get("id") in jobs:
-                jobs[rec["id"]]["status"] = rec["status"]
     return jobs
 
 
@@ -111,19 +115,42 @@ def replay_journal(path) -> list[str]:
     the first unemitted window)."""
     from scripts.vid2vid import STATE_FILE
 
+    # repair a torn tail first: a crash mid-append can leave a partial line
+    # with no newline, and the NEXT append would glue onto it — losing that
+    # record too
+    with open(path, "rb+") as f:
+        f.seek(0, 2)
+        if f.tell() > 0:
+            f.seek(-1, 2)
+            if f.read(1) != b"\n":
+                f.write(b"\n")
+
     requeued = []
     for jid, job in load_journal(path).items():
         status = job["status"]
         if status in ("queued", "running", "interrupted"):
             cfg = dict(job["config"])
-            if status in ("running", "interrupted") and not cfg.get("parallel_segments"):
+            # sequential mode is cfg.parallel_segments <= 1 (vid2vid gates
+            # on > 1); resume applies only there and only when a checkpoint
+            # actually exists
+            try:
+                sequential = int(cfg.get("parallel_segments") or 0) <= 1
                 out_dir = RunConfig.from_dict(cfg).output_video_dir
-                if (Path(out_dir) / STATE_FILE).exists():
-                    cfg["resume"] = 1
+            except Exception:
+                # unparseable config: requeue raw — the worker will record
+                # the failure with a traceback where the user can see it
+                sequential, out_dir = False, ""
+            if (
+                status in ("running", "interrupted") and sequential
+                and (Path(out_dir) / STATE_FILE).exists()
+            ):
+                cfg["resume"] = 1
             with _LOCK:
                 JOBS[jid] = {"status": "queued", "config": cfg}
                 _CANCEL_EVENTS[jid] = threading.Event()
-                _journal({"op": "status", "id": jid, "status": "queued"})
+                # deliberately NOT journaled: folding the requeue to
+                # "queued" would erase the running/interrupted evidence a
+                # SECOND restart needs to re-attach resume
             JOB_QUEUE.put(jid)
             requeued.append(jid)
         else:
@@ -189,12 +216,19 @@ def worker() -> None:
                 job["result"] = summary
                 # a shutdown-stopped job is not user-canceled: journal it
                 # "interrupted" so a restarted server re-queues it (resuming
-                # from its checkpoint)
+                # from its checkpoint). cancel_requested distinguishes an
+                # explicit DELETE from the shutdown stop — a user cancel
+                # stays terminal even when SIGTERM lands during the same
+                # window
                 _journal({
                     "op": "status", "id": job_id,
                     "status": (
                         "interrupted"
-                        if job["status"] == "canceled" and _SHUTTING_DOWN.is_set()
+                        if (
+                            job["status"] == "canceled"
+                            and _SHUTTING_DOWN.is_set()
+                            and not job.get("cancel_requested")
+                        )
                         else job["status"]
                     ),
                 })
@@ -310,6 +344,7 @@ class Handler(BaseHTTPRequestHandler):
                 if ev is not None:
                     # cooperative: honored at the next window boundary
                     ev.set()
+                    job["cancel_requested"] = True
                     reply = (202, {"status": "cancel_requested"})
                 else:
                     # running but never registered for cancellation (job
@@ -355,7 +390,7 @@ def graceful_shutdown(httpd, worker_thread, timeout: float = 3600.0) -> None:
     worker, then stop accepting requests."""
     _SHUTTING_DOWN.set()
     with _LOCK:
-        for jid, j in JOBS.items():
+        for j in JOBS.values():
             if j["status"] == "queued":
                 # don't let the worker build a pipeline just to cancel it.
                 # Deliberately NOT journaled: the journal keeps them
@@ -379,6 +414,7 @@ def serve(port: int = 8000, host: str = "127.0.0.1", token: str | None = None,
     shows as queued/running/interrupted are re-queued (mid-run jobs resume
     from their epoch checkpoints)."""
     global JOURNAL_PATH
+    _SHUTTING_DOWN.clear()  # a prior in-process shutdown must not latch
     Handler.auth_token = token
     if journal:
         JOURNAL_PATH = Path(journal)

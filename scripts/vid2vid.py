@@ -262,7 +262,12 @@ def vid2vid(
                     crf=cfg.crf, ffmpeg_path=cfg.ffmpeg_path, pix_fmt=sink_pix_fmt,
                 )
         else:
-            frame_sink = media.DirectoryFrameSink(str(out_dir / "frames"))
+            # on resume, append after the previous segment's frames — the
+            # numbered directory is this path's "concat"
+            frame_sink = media.DirectoryFrameSink(
+                str(out_dir / "frames"),
+                start_index=resumed[2] if resumed else 0,
+            )
     sink_pix_fmt = getattr(frame_sink, "pix_fmt", "rgb24")
 
     # ---- pipeline ----
@@ -700,10 +705,15 @@ def vid2vid(
             start_time=cfg.start_time, end_time=cfg.end_time,
         )
     timers.dump(out_dir / "phase_timers.json")
+    if own_sink and isinstance(frame_sink, media.DirectoryFrameSink):
+        # ffmpeg-less runs: the numbered-PNG directory IS the output
+        output_path = frame_sink.dir
+    else:
+        output_path = final_path if final_path.exists() else raw_video_path
     return {
         "frames_written": frames_written,
         "seed": seed,
-        "output": str(final_path if final_path.exists() else raw_video_path),
+        "output": str(output_path),
         "windows": windows_run,
         "canceled": stop_requested,
         "timers": timers.summary(),

@@ -9,6 +9,19 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True)
+def _reset_shutdown_latch():
+    """graceful_shutdown sets the module-global _SHUTTING_DOWN event; a
+    latched value would flip later tests' cancel journaling from 'canceled'
+    to 'interrupted' (serve() clears it too, but most tests drive worker/
+    Handler directly)."""
+    from scripts import serve
+
+    serve._SHUTTING_DOWN.clear()
+    yield
+    serve._SHUTTING_DOWN.clear()
+
+
 def _post(url, payload):
     req = urllib.request.Request(
         url, data=json.dumps(payload).encode(),
@@ -337,10 +350,12 @@ def test_metrics_endpoint(monkeypatch):
     httpd.shutdown()
 
 
-def test_graceful_shutdown(monkeypatch):
+def test_graceful_shutdown(monkeypatch, tmp_path):
     """SIGTERM path (graceful_shutdown): queued jobs cancel without pipeline
     builds, the running job stops cooperatively at its window boundary with
-    the partial summary, the worker retires, and the server stops."""
+    the partial summary, the worker retires, and the server stops. With a
+    journal, the stopped job records 'interrupted' (re-queued on restart)
+    while the queued job keeps its 'queued' journal state."""
     from scripts import serve
 
     started = threading.Event()
@@ -366,6 +381,7 @@ def test_graceful_shutdown(monkeypatch):
     import controlanimate_tpu.pipelines.facade as facade
 
     monkeypatch.setattr(facade, "ControlAnimatePipeline", FakePipeline)
+    monkeypatch.setattr(serve, "JOURNAL_PATH", tmp_path / "jobs.jsonl")
     serve._PIPE_CACHE.clear()
 
     from http.server import ThreadingHTTPServer
@@ -393,6 +409,60 @@ def test_graceful_shutdown(monkeypatch):
     assert s_run["result"]["canceled"] is True  # window-boundary stop
     assert s_q["status"] == "canceled" and "result" not in s_q
     assert built == ["R"]  # the queued job never built a pipeline
+    # journal: shutdown stop != user cancel — the running job records
+    # 'interrupted' and the queued one stays 'queued', so BOTH re-queue on
+    # the next start
+    states = serve.load_journal(tmp_path / "jobs.jsonl")
+    assert states[r1["job_id"]]["status"] == "interrupted"
+    assert states[r2["job_id"]]["status"] == "queued"
+
+
+def test_user_cancel_stays_terminal_during_shutdown(monkeypatch, tmp_path):
+    """A user-DELETEd running job must journal 'canceled' (terminal) even
+    when SIGTERM lands in the same window — only shutdown-stopped jobs
+    become 'interrupted' (re-queued on restart)."""
+    import queue as _queue
+
+    from scripts import serve
+
+    def fake_vid2vid(config=None, pipeline=None, progress=None,
+                     should_stop=None, **kw):
+        assert should_stop()  # the pre-set cancel event
+        return {"frames_written": 0, "windows": 0, "seed": 0, "output": "",
+                "canceled": True}
+
+    class FakePipeline:
+        def __init__(self, cfg):
+            pass
+
+    monkeypatch.setattr("scripts.vid2vid.vid2vid", fake_vid2vid)
+    import controlanimate_tpu.pipelines.facade as facade
+
+    monkeypatch.setattr(facade, "ControlAnimatePipeline", FakePipeline)
+    journal = tmp_path / "jobs.jsonl"
+    monkeypatch.setattr(serve, "JOURNAL_PATH", journal)
+    monkeypatch.setattr(serve, "JOBS", {})
+    monkeypatch.setattr(serve, "_CANCEL_EVENTS", {})
+    monkeypatch.setattr(serve, "JOB_QUEUE", _queue.Queue())
+    serve._PIPE_CACHE.clear()
+
+    jid = "cancelrace"
+    with serve._LOCK:
+        serve.JOBS[jid] = {
+            "status": "queued", "config": {"prompt": "x"},
+            "cancel_requested": True,  # the DELETE landed
+        }
+        ev = threading.Event()
+        ev.set()
+        serve._CANCEL_EVENTS[jid] = ev
+        serve._journal({"op": "submit", "id": jid, "config": {"prompt": "x"}})
+    serve._SHUTTING_DOWN.set()  # ...and SIGTERM in the same window
+    serve.JOB_QUEUE.put(jid)
+    serve.JOB_QUEUE.put(None)
+    serve.worker()
+
+    assert serve.JOBS[jid]["status"] == "canceled"
+    assert serve.load_journal(journal)[jid]["status"] == "canceled"
 
 
 def test_journal_replay_after_crash(monkeypatch, tmp_path):
@@ -419,6 +489,13 @@ def test_journal_replay_after_crash(monkeypatch, tmp_path):
         {"op": "submit", "id": "ddd", "config": {"prompt": "d"}},
         {"op": "status", "id": "ddd", "status": "running"},
         {"op": "status", "id": "ddd", "status": "interrupted"},
+        # explicit parallel_segments=1 is SEQUENTIAL (vid2vid gates on >1):
+        # must still resume from its checkpoint
+        {"op": "submit", "id": "eee", "config": {
+            "prompt": "e", "parallel_segments": 1,
+            "output_video_dir": str(out_dir)}},
+        {"op": "status", "id": "eee", "status": "running"},
+        {"op": "status", "id": "fff"},  # well-formed JSON, wrong schema
     ]
     with open(journal, "w") as f:
         for rec in lines:
@@ -435,17 +512,25 @@ def test_journal_replay_after_crash(monkeypatch, tmp_path):
     # bbb was queued -> re-queued as-is
     # ccc finished -> restored for listing only
     # ddd was SIGTERM-interrupted (no checkpoint) -> re-queued fresh
-    assert sorted(requeued) == ["aaa", "bbb", "ddd"]
+    assert sorted(requeued) == ["aaa", "bbb", "ddd", "eee"]
     assert serve.JOBS["aaa"]["config"].get("resume") == 1
     assert "resume" not in serve.JOBS["bbb"]["config"]
     assert "resume" not in serve.JOBS["ddd"]["config"]
+    assert serve.JOBS["eee"]["config"].get("resume") == 1
     assert serve.JOBS["ccc"]["status"] == "done"
     ids = set()
     while not serve.JOB_QUEUE.empty():
         ids.add(serve.JOB_QUEUE.get())
-    assert ids == {"aaa", "bbb", "ddd"}
-    # the requeue itself was journaled, so a second replay behaves the same
-    assert sorted(serve.replay_journal(journal)) == ["aaa", "bbb", "ddd"]
+    assert ids == {"aaa", "bbb", "ddd", "eee"}
+    # the requeue is NOT journaled (folding to 'queued' would erase the
+    # running/interrupted evidence), so a second replay re-attaches resume
+    assert sorted(serve.replay_journal(journal)) == ["aaa", "bbb", "ddd", "eee"]
+    assert serve.JOBS["aaa"]["config"].get("resume") == 1
+    # the torn tail was repaired in place: the journal now ends with a
+    # newline and a fresh append parses cleanly
+    with serve._LOCK:
+        serve._journal({"op": "status", "id": "ccc", "status": "done"})
+    assert serve.load_journal(journal)["ccc"]["status"] == "done"
 
 
 def test_journal_records_lifecycle(monkeypatch, tmp_path):
