@@ -33,6 +33,9 @@ _PALLAS_MIN_SEQ = 256  # below this XLA's fused attention is already optimal
 # dims >= 80 the 128-lane pad waste shrinks and the Pallas one-pass kernel
 # wins on-chip — measured within one session: (16,1024,8,80) 3.2 vs 4.4 ms,
 # VAE mid-attn (16,4096,1,512) 5.9 vs 10.8 ms; at D=40 XLA stays ahead.
+# Re-validated at the PROGRAM level 8/19 (perf/eulerab_r4.json, valid A/B
+# after the r3 force_flash fix): Euler 30-step denoise with flash forced at
+# level-0 is 9.2% slower than XLA (12359 vs 11319 ms) — the table holds.
 _PALLAS_AUTO_MIN_HEAD_DIM = 80
 _PALLAS_AUTO_MIN_SEQ = 1024
 
