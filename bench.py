@@ -6,11 +6,16 @@ Emits JSON lines on stdout (diagnostics on stderr), headline LAST:
   1. the reference's default profile: 30-step Euler CFG 7.5, with the
      measured LCM speedup multiple (the reference README claims "10X");
   2. (best-effort) the same profile with opt-in encoder propagation
-     (reuse_every=2) — acceleration headroom, approximate numerics;
-  3. the shipped-profile configuration: overlap-8 sliding windows through
+     (reuse_every=2) — acceleration headroom, with the measured
+     approximation error (SSIM/PSNR vs the exact run, same latents);
+  3. (best-effort) MFU: analytic matmul+conv FLOPs per jitted program over
+     measured device time, vs the v5e bf16 peak (197 TFLOP/s);
+  4. the shipped-profile configuration: overlap-8 sliding windows through
      the FULL orchestrator (scripts/vid2vid.py) at frame_count 24,
-     counting only frames actually emitted to the sink;
-  4. headline (driver metric, BASELINE.json): LCM vid2vid frames/sec/chip,
+     counting only frames actually emitted to the sink — warm pass
+     measured twice (best), with per-window deltas + cache-miss counts +
+     phase timers on stderr;
+  5. headline (driver metric, BASELINE.json): LCM vid2vid frames/sec/chip,
      512px 16-frame window, 4 steps. North star >=10 (vs_baseline = /10).
 """
 
@@ -121,11 +126,15 @@ def build_pipeline(cfg: RunConfig) -> ControlAnimatePipeline:
     return ControlAnimatePipeline(cfg, models=models, text_stack=TextStack(tok, tmodel, tparams))
 
 
-def measure_euler(pipeline, frames=16, size=512, steps=30, reuse=0) -> float:
+def measure_euler(pipeline, frames=16, size=512, steps=30, reuse=0):
     """The reference's default profile (SampleConfig: 30-step Euler, CFG
     7.5): frames/sec through the engine's denoise+decode programs.
     reuse>1 additionally engages encoder propagation (arXiv:2312.09608,
-    RunConfig.encoder_reuse_every) — full UNet every `reuse`-th step."""
+    RunConfig.encoder_reuse_every) — full UNet every `reuse`-th step.
+
+    Returns (fps, denoise_seconds, decoded_frames): the denoise-only device
+    time feeds the MFU line, and the decoded window feeds the approximation
+    -error measurement (VERDICT r3 next #8) when reuse>1."""
     from controlanimate_tpu.pipelines.engine import WindowStatic
 
     eng = pipeline.engine
@@ -143,22 +152,115 @@ def measure_euler(pipeline, frames=16, size=512, steps=30, reuse=0) -> float:
     lat = jax.random.normal(key, (1, frames, size // 8, size // 8, 4), jnp.float32)
 
     def window(lat):
-        return decode(eng.m.vae_params, denoise(eng.m.unet_params, (), text, (), lat, key))
+        # denoise and decode timed separately (two host readbacks; the
+        # extra sync is ~2 dispatch floors ≈ 50ms on an 11s window) so the
+        # MFU line can attribute device time per program
+        t0 = time.time()
+        lat2 = denoise(eng.m.unet_params, (), text, (), lat, key)
+        float(lat2.astype(jnp.float32).sum())
+        t_den = time.time() - t0
+        out = decode(eng.m.vae_params, lat2)
+        float(out.astype(jnp.float32).sum())
+        return out, t_den
 
-    out = window(lat)  # compile + warmup
-    float(out.astype(jnp.float32).sum())
-    times = []
+    out, _ = window(lat)  # compile + warmup
+    times, den_times = [], []
     for _ in range(2):
         t0 = time.time()
-        out = window(lat)
-        float(out.astype(jnp.float32).sum())
+        out, t_den = window(lat)
         times.append(time.time() - t0)
+        den_times.append(t_den)
     t = min(times)
-    log(f"euler {steps}-step window: {t:.2f}s -> {frames / t:.2f} fps")
-    return frames / t
+    log(f"euler {steps}-step window: {t:.2f}s -> {frames / t:.2f} fps "
+        f"(denoise {min(den_times):.2f}s)")
+    return frames / t, min(den_times), np.asarray(out)
 
 
-def measure_overlap8(pipeline, frames=24, size=512, windows=8) -> float:
+def measure_mfu(pipeline, frames, size, window_s, euler_denoise_s):
+    """MFU per jitted program (VERDICT r3 weak #5): analytic matmul+conv
+    FLOPs (utils/flops.py jaxpr walk — exact for these statically-shaped
+    programs) divided by measured device time, against the v5e bf16 peak.
+    Addresses the engine's ALREADY-COMPILED programs via the facade's exact
+    WindowStatic key, so this section adds timing dispatches but zero
+    compiles."""
+    from controlanimate_tpu.pipelines.engine import WindowStatic
+    from controlanimate_tpu.utils.flops import PEAK_BF16_TFLOPS, count_flops, mfu
+
+    eng = pipeline.engine
+    st = pipeline.window_static(overlaps=0, has_input_frames=True)
+    sched = eng.build_scheduler(st)
+    prepare = eng._make_prepare_fn(st, sched)
+    denoise = eng._make_denoise_fn(st, sched)
+    decode = eng._make_decode_fn(st.output_uint8, st.decode_chunk)
+
+    key = jax.random.PRNGKey(0)
+    rng = np.random.RandomState(3)
+    frames_in = jnp.asarray((rng.rand(1, frames, size, size, 3) * 255).astype(np.uint8))
+    d_ctx = eng.m.unet.config.cross_attention_dim
+    text = jax.random.normal(key, (1, 77, d_ctx), jnp.bfloat16)
+    latent_shape = (1, frames, size // 8, size // 8, 4)
+
+    def timed(fn, *args, iters=3):
+        out = fn(*args)  # program-cache warm; no compile expected
+        float(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32).sum())
+        times = []
+        for _ in range(iters):
+            t0 = time.time()
+            out = fn(*args)
+            float(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32).sum())
+            times.append(time.time() - t0)
+        return out, min(times)
+
+    lat, t_prep = timed(prepare, eng.m.vae_params, frames_in, None, latent_shape, key)
+    lat_d = lat[0] if st.tail_latents else lat
+    _, t_den = timed(denoise, eng.m.unet_params, (), text, (), lat_d, key)
+    _, t_dec = timed(decode, eng.m.vae_params, lat_d)
+
+    # FLOP counts: pure host-side traces, no device work
+    f_prep = count_flops(prepare, eng.m.vae_params, frames_in, None, latent_shape,
+                         key, static_argnums=(3,))
+    f_den = count_flops(denoise, eng.m.unet_params, (), text, (), lat_d, key)
+    f_dec = count_flops(decode, eng.m.vae_params, lat_d)
+
+    st_e = WindowStatic(
+        scheduler_name="EulerDiscreteScheduler", steps=30, guidance_scale=7.5,
+        strength=1.0, frame_count=frames, height=size, width=size, output_uint8=True,
+    )
+    denoise_e = eng._make_denoise_fn(st_e, eng.build_scheduler(st_e))
+    text2 = jax.random.normal(key, (2, 77, d_ctx), jnp.bfloat16)
+    f_den_e = count_flops(denoise_e, eng.m.unet_params, (), text2, (), lat_d, key)
+
+    def row(fl, t):
+        return {"tflop": round(fl / 1e12, 2), "ms": round(t * 1e3, 1),
+                "mfu": round(mfu(fl, t), 3)}
+
+    per = {
+        f"prepare (vae encode, {frames}f)": row(f_prep, t_prep),
+        f"denoise (LCM {st.steps} steps, {frames}f)": row(f_den, t_den),
+        f"decode ({frames}f -> u8)": row(f_dec, t_dec),
+        f"denoise (Euler 30 steps CFG, {frames}f)": row(f_den_e, euler_denoise_s),
+    }
+    for name, r in per.items():
+        log(f"MFU {name}: {r['tflop']} TFLOP / {r['ms']} ms -> {r['mfu']:.1%}")
+    window = row(f_prep + f_den + f_dec, window_s)
+    print(
+        json.dumps(
+            {
+                "metric": "MFU (analytic matmul+conv FLOPs / measured device time; 2 FLOPs per MAC; v5e bf16 peak 197 TFLOP/s)",
+                "value": per[f"denoise (LCM {st.steps} steps, {frames}f)"]["mfu"],
+                "unit": "fraction of peak (headline = LCM denoise program)",
+                "per_program": per,
+                "sustained_window": {
+                    **window,
+                    "note": "all three programs' FLOPs over the per-window wall time of the pipelined facade loop (includes stitch/yuv/transfers)",
+                },
+            }
+        ),
+        flush=True,
+    )
+
+
+def measure_overlap8(pipeline, frames=24, size=512, windows=8, overlap=8) -> float:
     """The shipped-profile configuration through the FULL orchestrator
     (scripts/vid2vid.py: prefetch thread, fused stitch, deferred emit),
     in-memory IO, counting only frames emitted to the sink. With overlap 8 a
@@ -170,29 +272,48 @@ def measure_overlap8(pipeline, frames=24, size=512, windows=8) -> float:
     from controlanimate_tpu.pipelines.facade import ControlAnimatePipeline
     from scripts.vid2vid import vid2vid
 
-    novel = frames - 8
+    novel = frames - overlap
     total = frames + (windows - 1) * novel
     rng = np.random.RandomState(1)
     frames_in = (rng.rand(total, size, size, 3) * 255).astype(np.uint8)
+
+    def run(tag, pipe, cfg):
+        """One orchestrator pass with the diagnostics VERDICT r3 weak #1
+        asked for: per-window wall deltas, section cache-miss count, and the
+        orchestrator's own phase timers — a slow capture is diagnosable from
+        the artifact alone (compiles vs host stalls vs tunnel warmup)."""
+        sink = ArrayFrameSink()
+        ticks = []
+        before = {p.name for p in CACHE_DIR.glob("*-cache")}
+        t0 = time.time()
+        s = vid2vid(config=cfg, pipeline=pipe,
+                    frame_source=ArrayFrameSource(frames_in), frame_sink=sink,
+                    progress=lambda info: ticks.append(time.time()))
+        wall = time.time() - t0
+        new = [p for p in CACHE_DIR.glob("*-cache") if p.name not in before]
+        deltas = " ".join(
+            f"{b - a:.2f}" for a, b in zip([t0] + ticks, ticks)
+        )
+        fps = s["frames_written"] / wall
+        log(f"overlap8 {tag}: {s['frames_written']} frames / {s['windows']} windows "
+            f"in {wall:.1f}s -> {fps:.2f} emitted fps")
+        log(f"overlap8 {tag} per-window deltas (s): {deltas} | cache misses: {len(new)}")
+        log(f"overlap8 {tag} phase timers: {json.dumps(s.get('timers', {}))}")
+        assert len(sink.frames) == total
+        return fps
+
     with tempfile.TemporaryDirectory() as td:
         cfg = pipeline.config.replace(
-            frame_count=frames, overlap_length=8, overlap_strength=0.9,
+            frame_count=frames, overlap_length=overlap, overlap_strength=0.9,
             output_video_dir=td, checkpoint_interval=0,
         )
         pipe = ControlAnimatePipeline(cfg, models=pipeline.models, text_stack=pipeline.text)
-        t0 = time.time()
-        s = vid2vid(config=cfg, pipeline=pipe,
-                    frame_source=ArrayFrameSource(frames_in), frame_sink=ArrayFrameSink())
-        log(f"overlap8 cold: {s['frames_written']} frames in {time.time()-t0:.1f}s")
-        sink = ArrayFrameSink()
-        t0 = time.time()
-        s = vid2vid(config=cfg, pipeline=pipe,
-                    frame_source=ArrayFrameSource(frames_in), frame_sink=sink)
-        wall = time.time() - t0
-        fps = s["frames_written"] / wall
-        log(f"overlap8 warm: {s['frames_written']} frames / {s['windows']} windows "
-            f"in {wall:.1f}s -> {fps:.2f} emitted fps")
-        assert len(sink.frames) == total
+        run("cold", pipe, cfg)
+        # steady-state throughput is the claim; a single warm pass is still
+        # exposed to tunnel-session tails (r3: 13.5s vs 18.2s for the same
+        # binary 33 min apart — perf/overlap8_capture_r3.json), so measure
+        # twice and report the best
+        fps = max(run(f"warm{i}", pipe, cfg) for i in range(2))
     return fps
 
 
@@ -306,7 +427,7 @@ def main(frames: int = 16, size: int = 512, steps: int = 4, iters: int = 16):
     # The exact-numerics baseline prints BEFORE the reuse attempt: the
     # reuse run compiles a new denoise program, and a tunnel stall there
     # must not lose the already-measured baseline.
-    fps_euler = measure_euler(pipeline, frames=frames, size=size)
+    fps_euler, t_den_euler, frames_exact = measure_euler(pipeline, frames=frames, size=size)
     print(
         json.dumps(
             {
@@ -323,7 +444,15 @@ def main(frames: int = 16, size: int = 512, steps: int = 4, iters: int = 16):
         # opt-in encoder propagation on the same profile (exact numerics
         # stay the line above; this shows the acceleration headroom).
         # Guarded: a failure here must not sink the cache-rebuilding bench.
-        fps_reuse = measure_euler(pipeline, frames=frames, size=size, reuse=2)
+        fps_reuse, _, frames_approx = measure_euler(pipeline, frames=frames, size=size, reuse=2)
+        # approximation error vs the exact run (VERDICT r3 next #8): both
+        # runs decode the SAME latents/text/key, so frame-wise SSIM/PSNR
+        # isolates the encoder-propagation error exactly
+        from scripts.eval_quality import psnr, ssim
+
+        pairs = list(zip(frames_exact[0], frames_approx[0]))
+        err_ssim = float(np.mean([ssim(a, b) for a, b in pairs]))
+        err_psnr = float(np.mean([psnr(a, b) for a, b in pairs]))
         print(
             json.dumps(
                 {
@@ -331,12 +460,22 @@ def main(frames: int = 16, size: int = 512, steps: int = 4, iters: int = 16):
                     "value": round(fps_reuse, 3),
                     "unit": "frames/sec/chip",
                     "speedup_vs_exact_euler": round(fps_reuse / fps_euler, 2),
+                    "approx_error_vs_exact": {
+                        "mean_frame_ssim": round(err_ssim, 4),
+                        "mean_frame_psnr_db": round(err_psnr, 2),
+                        "note": "same latents/text/seed, identical decode; differences are solely the reused encoder features",
+                    },
                 }
             ),
             flush=True,
         )
     except Exception as e:  # pragma: no cover - chip-only path
         log(f"euler encoder-reuse measurement failed: {e!r}")
+    try:
+        measure_mfu(pipeline, frames=frames, size=size,
+                    window_s=total / iters, euler_denoise_s=t_den_euler)
+    except Exception as e:  # pragma: no cover - chip-only path
+        log(f"MFU measurement failed: {e!r}")
     fps_o8 = measure_overlap8(pipeline, frames=24, size=size)
     print(
         json.dumps(

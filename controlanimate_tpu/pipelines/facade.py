@@ -453,6 +453,71 @@ class ControlAnimatePipeline:
         return cond_images
 
     # --------------------------------------------------------------- animate
+    def _reuse_overlap(self, has_input_frames: bool) -> bool:
+        """Whether overlap-latent reuse is active for a window with/without
+        input frames (see WindowStatic.tail_latents)."""
+        cfg = self.config
+        return (
+            cfg.use_lcm
+            and cfg.reuse_overlap_latents
+            and self.mesh is None
+            and not cfg.loop_back_frames
+            and has_input_frames
+        )
+
+    def window_static(
+        self,
+        *,
+        overlaps: int = 0,
+        strength: Optional[float] = None,
+        has_input_frames: bool = True,
+        has_last_output_frames: bool = False,
+        frame_count: Optional[int] = None,
+        segments: int = 0,
+        window_frames: Optional[int] = None,
+    ) -> WindowStatic:
+        """The exact compile-time window key animate_async builds for these
+        call conditions — exposed so measurement tooling (bench.py MFU
+        lines, scripts/tpu_perf.py) can address the engine's
+        ALREADY-COMPILED programs; a guessed-at key that mismatches any
+        field silently triggers a fresh multi-minute remote compile."""
+        cfg = self.config
+        strength = cfg.strength if strength is None else strength
+        S = max(int(segments), 0)
+        if window_frames is None:
+            window_frames = frame_count or cfg.frame_count
+        reuse = self._reuse_overlap(has_input_frames)
+        return WindowStatic(
+            scheduler_name=cfg.scheduler,
+            steps=cfg.steps,
+            strength=float(strength),
+            guidance_scale=float(cfg.guidance_scale),
+            use_lcm=cfg.use_lcm,
+            lcm_origin_steps=cfg.lcm_origin_steps,
+            guess_mode=cfg.guess_mode,
+            encoder_reuse_every=int(cfg.encoder_reuse_every),
+            overlaps=int(overlaps),
+            use_img2img=cfg.use_img2img,
+            has_input_frames=has_input_frames,
+            has_last_output_frames=has_last_output_frames,
+            ipa_scale=float(cfg.ipa_scale),
+            ip_tokens=self.ip_adapter.num_tokens if self.ip_adapter is not None else 0,
+            frame_count=frame_count or cfg.frame_count,
+            height=cfg.height,
+            width=cfg.width,
+            output_uint8=True,
+            # >=32 decoded frames overflow v5e HBM in the whole-window
+            # decoder; chunked decode (frames are independent) bounds the
+            # peak. The budget counts the TOTAL B*F frames (segment-parallel
+            # runs decode S windows at once), and the chunk must divide it
+            # (engine._decode_latents falls back to one shot otherwise) —
+            # largest divisor <=24 (a 24-frame 512px decode is measured fine)
+            decode_chunk=self._pick_decode_chunk(
+                window_frames * max(S, 1), cfg.height * cfg.width
+            ),
+            tail_latents=cfg.overlap_length if reuse else 0,
+        )
+
     def animate(
         self,
         input_frames: Optional[np.ndarray],
@@ -512,7 +577,6 @@ class ControlAnimatePipeline:
 
         # IP-Adapter image tokens appended on the sequence axis
         # (reference: controlanimation_pipeline.py:698-710)
-        ipa_scale = cfg.ipa_scale
         if self.ip_adapter is not None:
             if last_output_frames is not None and len(last_output_frames):
                 if batched:
@@ -534,13 +598,7 @@ class ControlAnimatePipeline:
         # overlap-latent reuse (LCM product path, single device): the head
         # input frames of this window are the previous window's tail pixels,
         # whose clean latents were cached by the previous prepare
-        reuse = (
-            cfg.use_lcm
-            and cfg.reuse_overlap_latents
-            and self.mesh is None
-            and not cfg.loop_back_frames
-            and input_frames is not None
-        )
+        reuse = self._reuse_overlap(input_frames is not None)
         head_latents = None
         if reuse and overlaps and self._overlap_latent_cache is not None:
             cache_epoch, cached_tail = self._overlap_latent_cache
@@ -551,35 +609,14 @@ class ControlAnimatePipeline:
             ):
                 head_latents = cached_tail
 
-        st = WindowStatic(
-            scheduler_name=cfg.scheduler,
-            steps=cfg.steps,
-            strength=float(strength),
-            guidance_scale=float(cfg.guidance_scale),
-            use_lcm=cfg.use_lcm,
-            lcm_origin_steps=cfg.lcm_origin_steps,
-            guess_mode=cfg.guess_mode,
-            encoder_reuse_every=int(cfg.encoder_reuse_every),
-            overlaps=int(overlaps),
-            use_img2img=cfg.use_img2img,
+        st = self.window_static(
+            overlaps=overlaps,
+            strength=strength,
             has_input_frames=input_frames is not None,
             has_last_output_frames=last_output_frames is not None,
-            ipa_scale=float(ipa_scale),
-            ip_tokens=self.ip_adapter.num_tokens if self.ip_adapter is not None else 0,
-            frame_count=frame_count or cfg.frame_count,
-            height=cfg.height,
-            width=cfg.width,
-            output_uint8=True,
-            # >=32 decoded frames overflow v5e HBM in the whole-window
-            # decoder; chunked decode (frames are independent) bounds the
-            # peak. The budget counts the TOTAL B*F frames (segment-parallel
-            # runs decode S windows at once), and the chunk must divide it
-            # (engine._decode_latents falls back to one shot otherwise) —
-            # largest divisor <=24 (a 24-frame 512px decode is measured fine)
-            decode_chunk=self._pick_decode_chunk(
-                window_frames * max(S, 1), cfg.height * cfg.width
-            ),
-            tail_latents=cfg.overlap_length if reuse else 0,
+            frame_count=frame_count,
+            segments=S,
+            window_frames=window_frames,
         )
 
         do_cfg = st.do_cfg
