@@ -104,10 +104,19 @@ def _layernorm(x, scale, bias, eps: float = 1e-5):
 class TemporalEinsumAttention(nn.Module):
     """Frame-axis attention on (B, F, N, C) without explicit transposes;
     param tree matches the generic Attention module (to_q/to_k/to_v/to_out_0)
-    so the motion-module weight mapping is unchanged."""
+    so the motion-module weight mapping is unchanged.
+
+    ``band`` > 0 restricts each frame to keys within ±band frames — the
+    banded/sliding-window approximation that attacks the motion module's F²
+    term for long windows (VERDICT r3 #3). band >= F-1 covers every pair and
+    is EXACTLY full attention (pinned by golden test); the reference has no
+    counterpart (its temporal attention is always dense,
+    animatediff/models/motion_module.py:248-329), so this is a strictly
+    opt-in extension, off by default."""
 
     heads: int
     dtype: jnp.dtype = jnp.float32
+    band: int = 0
 
     @nn.compact
     def __call__(self, h, return_params: bool = False):
@@ -125,6 +134,9 @@ class TemporalEinsumAttention(nn.Module):
         q = _dense(h, wq, None, dt).reshape(B, F, N, H, D)
         k = _dense(h, wk, None, dt).reshape(B, F, N, H, D)
         v = _dense(h, wv, None, dt).reshape(B, F, N, H, D)
+        if self.band and self.band < F - 1:
+            out = _banded_frame_attention(q, k, v, self.band).reshape(B, F, N, C)
+            return _dense(out, wo, ob, dt)
         form = os.environ.get("CONTROLANIMATE_MOTION_FORM", "auto")
         use_mulreduce = (
             N * D >= 4096 * 40 if form == "auto" else form == "mulreduce"
@@ -150,6 +162,48 @@ class TemporalEinsumAttention(nn.Module):
         return _dense(out, wo, ob, dt)
 
 
+def _banded_frame_attention(q, k, v, band: int):
+    """Frame-axis attention restricted to |query_frame - key_frame| <= band,
+    computed over the 2*band+1 shifted diagonals — O(F·band·N·C) on the VPU
+    instead of the dense form's O(F²·N·C), with no (F, F) logits tensor.
+
+    Shapes (B, F, N, H, D); pads K/V by `band` frames on each side so every
+    offset is a static slice (XLA fuses the whole chain; no gathers).
+    Out-of-range positions are masked to -inf before the softmax, so the
+    result over the valid band is exactly softmax(q·k/sqrt(D))·v. Dtype
+    policy matches the dense mulreduce form: multiplies in the input dtype,
+    reductions accumulate in f32."""
+    B, F, N, H, D = q.shape
+    W = int(band)
+    O = 2 * W + 1
+    scale = D**-0.5
+    pad = ((0, 0), (W, W), (0, 0), (0, 0), (0, 0))
+    kp = jnp.pad(k, pad)
+    vp = jnp.pad(v, pad)
+    logits = jnp.stack(
+        [
+            (q * jax.lax.slice_in_dim(kp, o, o + F, axis=1)).sum(
+                -1, dtype=jnp.float32
+            )
+            * scale
+            for o in range(O)
+        ],
+        axis=2,
+    )  # (B, F, O, N, H)
+    # offset o addresses key frame f + (o - W); mask pairs outside [0, F)
+    tgt = np.arange(F)[:, None] + np.arange(O)[None, :] - W
+    valid = jnp.asarray((tgt >= 0) & (tgt < F))
+    logits = jnp.where(valid[None, :, :, None, None], logits, -jnp.inf)
+    probs = jax.nn.softmax(logits, axis=2).astype(q.dtype)
+    out = sum(
+        (probs[:, :, o, ..., None] * jax.lax.slice_in_dim(vp, o, o + F, axis=1)).astype(
+            jnp.float32
+        )
+        for o in range(O)
+    )
+    return out.astype(q.dtype)
+
+
 class TemporalAttentionBlock(nn.Module):
     """One 'Temporal_Self' attention sublayer with frame-axis PE."""
 
@@ -157,12 +211,15 @@ class TemporalAttentionBlock(nn.Module):
     max_len: int = 32
     use_pos_encoding: bool = True
     dtype: jnp.dtype = jnp.float32
+    band: int = 0
 
     @nn.compact
     def __call__(self, x, return_params: bool = False):
         C = x.shape[-1]
         ls, lb = _VecPair(C, name="norm")()
-        attn = TemporalEinsumAttention(self.heads, name="attention", dtype=self.dtype)
+        attn = TemporalEinsumAttention(
+            self.heads, name="attention", dtype=self.dtype, band=self.band
+        )
         if return_params:
             ap = attn(x, return_params=True)
             return {"ls": ls, "lb": lb, **ap}
@@ -187,6 +244,7 @@ class TemporalTransformerBlock(nn.Module):
     max_len: int = 32
     use_pos_encoding: bool = True
     dtype: jnp.dtype = jnp.float32
+    band: int = 0
 
     @nn.compact
     def __call__(self, x, return_params: bool = False):
@@ -204,6 +262,7 @@ class TemporalTransformerBlock(nn.Module):
                 self.use_pos_encoding,
                 name=f"attention_blocks_{i}",
                 dtype=self.dtype,
+                band=self.band,
             )
             for i in range(len(self.attention_block_types))
         ]
@@ -264,6 +323,7 @@ class MotionModule(nn.Module):
     use_pos_encoding: bool = True
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
+    band: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -280,6 +340,7 @@ class MotionModule(nn.Module):
                 self.use_pos_encoding,
                 name=f"transformer_blocks_{i}",
                 dtype=self.dtype,
+                band=self.band,
             )
             for i in range(self.num_transformer_block)
         ]
@@ -294,8 +355,10 @@ class MotionModule(nn.Module):
 
         h4 = x.reshape(B, F, N, C)
         nblk = pick_nblk(F, N, C, jnp.dtype(self.dtype).itemsize)
+        band_active = bool(self.band) and self.band < F - 1
         use_fused = (
             motion_kernel_enabled()
+            and not band_active  # fused kernel computes dense frame attention
             and self.num_transformer_block == 1
             and len(self.attention_block_types) == 2
             and nblk is not None

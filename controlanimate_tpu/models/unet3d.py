@@ -118,6 +118,7 @@ class UNet3DConditionModel(nn.Module):
             groups=self.config.norm_num_groups,
             name=name,
             dtype=self.dtype,
+            band=m.attention_band,
         )
 
     def _spatial(self, ch: int, name: str):

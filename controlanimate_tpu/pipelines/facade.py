@@ -15,7 +15,7 @@ work happens inside the AnimationEngine's jitted window programs.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as _dc_replace
 from pathlib import Path
 from typing import Any, Optional
 
@@ -88,6 +88,16 @@ class ControlAnimatePipeline:
             if Path(config.inference_config_path).exists()
             else ArchConfig()
         )
+        if config.temporal_band:
+            # runtime opt-in (RunConfig.temporal_band) overrides the arch
+            # yaml's band: banded temporal attention is a run-level speed
+            # knob, not a property of the pretrained motion module
+            self.arch = _dc_replace(
+                self.arch,
+                motion_module=_dc_replace(
+                    self.arch.motion_module, attention_band=int(config.temporal_band)
+                ),
+            )
         # execution dtype comes from RunConfig (the TPU analog of the
         # reference's .half() policy, modules/controlanimate_pipeline.py:108-110);
         # float16 maps to bfloat16 — fp16 has no TPU fast path
@@ -137,6 +147,17 @@ class ControlAnimatePipeline:
         if models is not None and text_stack is not None:
             self.models = models
             self.text = text_stack
+            got = models.unet.config.motion.attention_band
+            if config.temporal_band and got != int(config.temporal_band):
+                # the band is baked into the UNet's traced program; a silent
+                # mismatch would no-op the run-level knob
+                raise ValueError(
+                    f"RunConfig.temporal_band={config.temporal_band} but the "
+                    f"provided UNet was built with attention_band={got}; "
+                    "construct the UNet with the matching "
+                    "MotionModuleConfig.attention_band (disk builds do this "
+                    "automatically)"
+                )
         else:
             self._build_from_disk()
         schedule = make_schedule(

@@ -1035,6 +1035,73 @@ def bench_f24v2():
     build(32, "flash+chunk16", chunk=16)
 
 
+def bench_banded():
+    """Banded temporal attention vs dense at long windows (VERDICT r3 #3:
+    attack the motion module's F² wall so F=32 windows win). Full
+    orchestrator emitted fps, in-memory IO, 8 windows per pass:
+      - F=24 band=0   (dense shipped profile — the number to beat)
+      - F=32 band=0   (dense: r3 measured 7.85, the F² wall)
+      - F=32 band=8   (each frame sees ±8 neighbours ≥ the overlap length)
+      - F=32 band=12
+    Banded is an opt-in approximation (RunConfig.temporal_band); exactness
+    at band >= F-1 is golden-tested on CPU (tests/test_banded_motion.py)."""
+    import tempfile
+
+    import numpy as np
+
+    import bench
+    from controlanimate_tpu.io.media import ArrayFrameSink, ArrayFrameSource
+    from controlanimate_tpu.pipelines.facade import ControlAnimatePipeline
+    from scripts.vid2vid import vid2vid
+
+    models = text = None
+    for F, band in ((24, 0), (32, 0), (32, 8), (32, 12)):
+        novel = F - 8
+        n_windows = 8
+        total = F + (n_windows - 1) * novel
+        rng = np.random.RandomState(0)
+        frames_in = (rng.rand(total, 512, 512, 3) * 255).astype(np.uint8)
+        with tempfile.TemporaryDirectory() as td:
+            cfg = bench.RunConfig(
+                width=512, height=512, frame_count=F, overlap_length=8,
+                use_lcm=True, steps=4, guidance_scale=7.5, strength=0.9,
+                overlap_strength=0.9, lcm_origin_steps=50, prompt="a cat",
+                n_prompt="", seed=7, dtype="bfloat16", output_video_dir=td,
+                checkpoint_interval=0, temporal_band=band,
+            )
+            if models is None:
+                pipeline = bench.build_pipeline(cfg)
+                models, text = pipeline.models, pipeline.text
+            else:
+                # the band is a trace-time constant baked into the UNet
+                # MODULE (not its params — the param tree is band-invariant),
+                # so rebuild the module with the banded motion config and
+                # reuse the same device params across every variant
+                import dataclasses as _dc
+
+                from controlanimate_tpu.models.unet3d import UNet3DConditionModel
+
+                u = models.unet
+                ucfg = _dc.replace(
+                    u.config, motion=_dc.replace(u.config.motion, attention_band=band)
+                )
+                m2 = _dc.replace(
+                    models, unet=UNet3DConditionModel(ucfg, dtype=u.dtype)
+                )
+                pipeline = ControlAnimatePipeline(cfg, models=m2, text_stack=text)
+            for tag in ("cold", "warm"):
+                sink = ArrayFrameSink()
+                t0 = time.time()
+                s = vid2vid(config=cfg, pipeline=pipeline,
+                            frame_source=ArrayFrameSource(frames_in),
+                            frame_sink=sink)
+                wall = time.time() - t0
+                log(f"banded F={F} band={band} {tag}: {s['frames_written']} frames / "
+                    f"{s['windows']} windows in {wall:.1f}s -> "
+                    f"{s['frames_written'] / wall:.2f} emitted fps")
+                assert s["frames_written"] == total, s
+
+
 def bench_eulerab():
     """Euler 30-step denoise: XLA fused attention (new default after the
     force_flash context replaced the shape-based HBM rule) vs flash-forced
@@ -1154,6 +1221,8 @@ if __name__ == "__main__":
         bench_f24v2()
     if "eulerab" in which:
         bench_eulerab()
+    if "banded" in which:
+        bench_banded()
     if "attnxl" in which:
         bench_attn_xl()
     if "vae2" in which:
