@@ -63,8 +63,15 @@ def _conv_flops(eqn) -> int:
     rhs_spec = dn.rhs_spec  # (out_ch, in_ch/groups, *spatial)
     in_ch_per_group = rhs_shape[rhs_spec[1]]
     kernel_spatial = _prod(rhs_shape[i] for i in rhs_spec[2:])
+    # lhs (input) dilation inserts zeros between real inputs: of a k-tap
+    # window only ~k/d taps hit data, and XLA's TPU lowering skips the
+    # zero taps (the transposed-upsample conv in ops/upsample.py relies on
+    # this — counting all taps inflated decode MFU past 100%). Exact when
+    # d | k (our 4x4/dil-2 case); average over output parities otherwise.
+    lhs_dil = eqn.params.get("lhs_dilation") or ()
+    useful = kernel_spatial / (_prod(lhs_dil) or 1)
     # batch_group_count divides the output batch; already reflected in out
-    return 2 * _prod(out_shape) * in_ch_per_group * kernel_spatial
+    return int(2 * _prod(out_shape) * in_ch_per_group * useful)
 
 
 def _jaxpr_flops(jaxpr) -> int:

@@ -47,6 +47,23 @@ def test_grouped_conv():
     assert count_flops(f, x, w) == 2 * (8 * 8 * 8) * 2 * 9
 
 
+def test_lhs_dilated_conv_counts_only_real_taps():
+    # transposed-upsample form (ops/upsample.py): lhs_dilation=2 inserts a
+    # zero between every real input, so only k/d taps per dim do work —
+    # 4x4 kernel at dilation 2 => 4 of 16 taps. Counting all 16 inflated
+    # decode MFU past 100% in the r4a bench capture.
+    x = jnp.zeros((1, 8, 8, 8), jnp.float32)
+    w = jnp.zeros((4, 4, 8, 4), jnp.float32)
+    f = lambda x, w: jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(2, 2), (2, 2)], lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    out = jax.eval_shape(f, x, w)
+    assert out.shape == (1, 16, 16, 4)
+    out_numel = 16 * 16 * 4
+    assert count_flops(f, x, w) == 2 * out_numel * 8 * (4 * 4 // 4)
+
+
 def test_scan_multiplies_by_length():
     a = jnp.zeros((8, 8), jnp.float32)
 
