@@ -366,10 +366,12 @@ def measure_overlap8(pipeline, frames=24, size=512, windows=16, overlap=8) -> fl
         dl = [b - a for a, b in zip([t0] + ticks, ticks)]
         deltas = " ".join(f"{d:.2f}" for d in dl)
         fps = s["frames_written"] / wall
-        # steady-state rate: middle windows only (drop the async window-0
-        # tick, the fill window where the first deferred emit blocks on the
-        # whole first chain, and the tail drain after the loop)
-        mid = dl[2:]
+        # steady-state rate: middle windows only. Ticks are [window-0
+        # (async dispatch, ~0), window-1 (pipeline fill: the first deferred
+        # emit blocks on the whole first chain), mid windows..., final
+        # converge tick (drain: tail flush + overlap emit)] — drop the
+        # first two and the last
+        mid = dl[2:-1]
         steady = (frames - overlap) * len(mid) / sum(mid) if len(mid) >= 2 else fps
         log(f"overlap8 {tag}: {s['frames_written']} frames / {s['windows']} windows "
             f"in {wall:.1f}s -> {fps:.2f} emitted fps "
