@@ -103,8 +103,10 @@ def load_hf_component(snapshot: str | Path, component: str) -> tuple[dict, dict[
 # -- torch-layout -> flax-layout primitive conversions -----------------------
 
 def conv_kernel(w: np.ndarray) -> np.ndarray:
-    """torch conv weight (O, I, kh, kw) -> flax (kh, kw, I, O)."""
-    return np.transpose(w, (2, 3, 1, 0))
+    """torch conv weight (O, I, *spatial) -> flax (*spatial, I, O);
+    handles 1D/2D/3D convs by rank."""
+    n = w.ndim
+    return np.transpose(w, (*range(2, n), 1, 0))
 
 
 def dense_kernel(w: np.ndarray) -> np.ndarray:
