@@ -85,12 +85,9 @@ class ArchConfig:
         # attn1, models/transformer.py) — note the reference cannot run it at
         # all: its branch (animatediff/models/attention.py:195-196) names
         # `SparseCausalAttention2D`, which is defined nowhere in the repo.
-        if self.unet_use_temporal_attention:
-            raise NotImplementedError(
-                "unet_use_temporal_attention is not supported: the extra "
-                "temp-attn sublayer is disabled in every shipped reference "
-                "config. Remove the flag or use a supported inference config."
-            )
+        # unet_use_temporal_attention is SUPPORTED too (frame-axis attn
+        # sublayer after each spatial block's FFN, models/transformer.py;
+        # reference attention.py:240-251 — off in every shipped yaml).
         if self.use_motion_module and self.motion_module_type != "Vanilla":
             raise NotImplementedError(
                 f"motion_module_type={self.motion_module_type!r}: only "

@@ -147,6 +147,10 @@ class Attention(nn.Module):
     dim_head: int = 64
     cross_attention_dim: Optional[int] = None
     out_bias: bool = True
+    # zero-init the output projection so a freshly-initialized layer is an
+    # identity residual (reference zero-inits attn_temp.to_out,
+    # animatediff/models/attention.py:251)
+    out_zero_init: bool = False
     ip_tokens: int = 0  # trailing image-prompt tokens in encoder states
     dtype: jnp.dtype = jnp.float32
     upcast_attention: bool = False
@@ -191,7 +195,10 @@ class Attention(nn.Module):
             out = out + jnp.asarray(ip_scale, out.dtype) * ip_out
 
         out = out.reshape(B, N, inner)
-        return nn.Dense(inner, use_bias=self.out_bias, name="to_out_0", dtype=self.dtype)(out)
+        return nn.Dense(
+            inner, use_bias=self.out_bias, name="to_out_0", dtype=self.dtype,
+            **({"kernel_init": nn.initializers.zeros} if self.out_zero_init else {}),
+        )(out)
 
 
 class GEGLU(nn.Module):

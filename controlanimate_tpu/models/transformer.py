@@ -53,6 +53,7 @@ class BasicTransformerBlock(nn.Module):
     ip_tokens: int = 0
     upcast_attention: bool = False
     cross_frame: bool = False
+    temporal_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -74,7 +75,27 @@ class BasicTransformerBlock(nn.Module):
             dtype=self.dtype,
         )(h, encoder_hidden_states=context, ip_scale=ip_scale)
         h = LayerNorm32(name="norm3")(x)
-        return x + FeedForward(name="ff", dtype=self.dtype)(h)
+        x = x + FeedForward(name="ff", dtype=self.dtype)(h)
+
+        # Optional temp-attn sublayer (`unet_use_temporal_attention`,
+        # reference animatediff/models/attention.py:240-251,291-298): after
+        # the FFN, self-attention over the FRAME axis per spatial token —
+        # (B·F, N, C) -> (B·N, F, C), LN, attn (zero-init out proj so a
+        # fresh init is identity), residual. Off in every shipped reference
+        # yaml; supported here so v1-style configs that enable it load the
+        # model they describe instead of raising.
+        if self.temporal_attention:
+            BF, N, C = x.shape
+            B = BF // frames
+            t = x.reshape(B, frames, N, C).transpose(0, 2, 1, 3).reshape(B * N, frames, C)
+            h = LayerNorm32(name="norm_temp")(t)
+            t = t + Attention(
+                dim, self.heads, self.dim_head, name="attn_temp",
+                upcast_attention=self.upcast_attention, out_zero_init=True,
+                dtype=self.dtype,
+            )(h)
+            x = t.reshape(B, N, frames, C).transpose(0, 2, 1, 3).reshape(BF, N, C)
+        return x
 
 
 class SpatialTransformer(nn.Module):
@@ -88,6 +109,7 @@ class SpatialTransformer(nn.Module):
     ip_tokens: int = 0
     upcast_attention: bool = False
     cross_frame: bool = False
+    temporal_attention: bool = False
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
@@ -114,6 +136,7 @@ class SpatialTransformer(nn.Module):
                 ip_tokens=self.ip_tokens,
                 upcast_attention=self.upcast_attention,
                 cross_frame=self.cross_frame,
+                temporal_attention=self.temporal_attention,
                 name=f"transformer_blocks_{i}",
                 dtype=self.dtype,
             )(h, ctx, ip_scale=ip_scale, frames=F)

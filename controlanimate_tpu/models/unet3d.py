@@ -72,6 +72,9 @@ class UNet3DConfig:
     # flag `unet_use_cross_frame_attention`; the reference's branch is dead
     # code — see models/transformer.py docstring)
     cross_frame_attention: bool = False
+    # extra frame-axis attn sublayer after each spatial block's FFN
+    # (`unet_use_temporal_attention`, reference attention.py:240-251)
+    temporal_attention: bool = False
 
     @staticmethod
     def from_arch(
@@ -100,6 +103,7 @@ class UNet3DConfig:
             motion=arch.motion_module,
             ip_tokens=ip_tokens,
             cross_frame_attention=arch.unet_use_cross_frame_attention,
+            temporal_attention=arch.unet_use_temporal_attention,
         )
 
 
@@ -130,6 +134,7 @@ class UNet3DConditionModel(nn.Module):
             ip_tokens=cfg.ip_tokens,
             upcast_attention=cfg.upcast_attention,
             cross_frame=cfg.cross_frame_attention,
+            temporal_attention=cfg.temporal_attention,
             groups=cfg.norm_num_groups,
             name=name,
             dtype=self.dtype,

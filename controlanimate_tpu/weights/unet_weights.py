@@ -64,7 +64,8 @@ def _ff_entries(tprefix: str, fprefix: str):
     yield f"{tprefix}.net.2.bias", f"{fprefix}/net_2/bias", "raw"
 
 
-def _spatial_transformer_entries(tprefix: str, fprefix: str, depth: int = 1):
+def _spatial_transformer_entries(tprefix: str, fprefix: str, depth: int = 1,
+                                 temporal: bool = False):
     yield f"{tprefix}.norm.weight", f"{fprefix}/norm/scale", "raw"
     yield f"{tprefix}.norm.bias", f"{fprefix}/norm/bias", "raw"
     yield f"{tprefix}.proj_in.weight", f"{fprefix}/proj_in/kernel", "conv"
@@ -77,6 +78,9 @@ def _spatial_transformer_entries(tprefix: str, fprefix: str, depth: int = 1):
         yield from _ln_entries(f"{tb}.norm2", f"{fb}/norm2")
         yield from _ln_entries(f"{tb}.norm3", f"{fb}/norm3")
         yield from _ff_entries(f"{tb}.ff", f"{fb}/ff")
+        if temporal:  # unet_use_temporal_attention sublayer
+            yield from _attn_entries(f"{tb}.attn_temp", f"{fb}/attn_temp")
+            yield from _ln_entries(f"{tb}.norm_temp", f"{fb}/norm_temp")
     yield f"{tprefix}.proj_out.weight", f"{fprefix}/proj_out/kernel", "conv"
     yield f"{tprefix}.proj_out.bias", f"{fprefix}/proj_out/bias", "raw"
 
@@ -130,7 +134,8 @@ def unet_mapping(cfg: UNet3DConfig, include_motion: bool = True) -> Iterator[tup
             )
             if has_cross:
                 yield from _spatial_transformer_entries(
-                    f"down_blocks.{i}.attentions.{j}", f"down_blocks_{i}_attentions_{j}"
+                    f"down_blocks.{i}.attentions.{j}", f"down_blocks_{i}_attentions_{j}",
+                    temporal=cfg.temporal_attention,
                 )
             if use_motion:
                 yield from _motion_module_entries(
@@ -152,7 +157,10 @@ def unet_mapping(cfg: UNet3DConfig, include_motion: bool = True) -> Iterator[tup
 
     # mid block
     yield from _resnet_entries("mid_block.resnets.0", "mid_block_resnets_0", False)
-    yield from _spatial_transformer_entries("mid_block.attentions.0", "mid_block_attentions_0")
+    yield from _spatial_transformer_entries(
+        "mid_block.attentions.0", "mid_block_attentions_0",
+        temporal=cfg.temporal_attention,
+    )
     if include_motion and cfg.use_motion_module and cfg.motion_module_mid_block:
         yield from _motion_module_entries(
             "mid_block.motion_modules.0", "mid_block_motion_modules_0", cfg
@@ -174,7 +182,8 @@ def unet_mapping(cfg: UNet3DConfig, include_motion: bool = True) -> Iterator[tup
             )
             if has_cross:
                 yield from _spatial_transformer_entries(
-                    f"up_blocks.{i}.attentions.{j}", f"up_blocks_{i}_attentions_{j}"
+                    f"up_blocks.{i}.attentions.{j}", f"up_blocks_{i}_attentions_{j}",
+                    temporal=cfg.temporal_attention,
                 )
             if use_motion:
                 yield from _motion_module_entries(

@@ -60,6 +60,44 @@ def test_motion_modules_identity_at_init():
     np.testing.assert_allclose(np.asarray(out3d), np.asarray(out2d), atol=1e-5)
 
 
+def test_temporal_attention_identity_at_init():
+    """attn_temp's zero-init out proj (reference attention.py:251) makes the
+    fresh temp-attn sublayer an identity residual: stripping its params and
+    running the flag-off model must give the same output — the property that
+    keeps 2D-checkpoint loading sound when the flag is on."""
+    cfg_ta = UNet3DConfig(**{**TINY.__dict__, "temporal_attention": True})
+    model_ta = UNet3DConditionModel(cfg_ta)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 8, 8, 4))
+    t = jnp.asarray([321])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 7, 24))
+    params_ta = model_ta.init(jax.random.PRNGKey(0), x, t, ctx)["params"]
+
+    def strip(tree):
+        if not isinstance(tree, dict):
+            return tree
+        return {k: strip(v) for k, v in tree.items()
+                if k not in ("attn_temp", "norm_temp")}
+
+    out_ta = model_ta.apply({"params": params_ta}, x, t, ctx)
+    out_base = UNet3DConditionModel(TINY).apply({"params": strip(params_ta)}, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(out_ta), np.asarray(out_base), atol=1e-5)
+
+    # and with a non-zero out projection the branch must actually act
+    def poke(tree, path=""):
+        if not isinstance(tree, dict):
+            return tree
+        out = {}
+        for k, v in tree.items():
+            if k == "attn_temp":
+                v = jax.tree_util.tree_map(
+                    lambda a: jax.random.normal(jax.random.PRNGKey(9), a.shape) * 0.05, v)
+            out[k] = poke(v, path + "/" + k)
+        return out
+
+    out_poked = model_ta.apply({"params": poke(params_ta)}, x, t, ctx)
+    assert float(jnp.abs(out_poked - out_ta).max()) > 1e-4
+
+
 def test_frame_equivariance_without_motion():
     """Without motion modules, frames are independent: permuting input frames
     permutes outputs identically."""
@@ -231,6 +269,13 @@ def test_temporal_attention_mulreduce_matches_einsum():
             "lcm",  # native-LCM UNet: guidance embedding via cond_proj
             dict(use_inflated_groupnorm=True, motion_module_mid_block=True,
                  time_cond_proj_dim=8,
+                 motion=MotionModuleConfig(
+                     num_attention_heads=2, temporal_position_encoding_max_len=8)),
+        ),
+        (
+            "temp_attn",  # unet_use_temporal_attention sublayer active
+            dict(use_inflated_groupnorm=True, motion_module_mid_block=True,
+                 temporal_attention=True,
                  motion=MotionModuleConfig(
                      num_attention_heads=2, temporal_position_encoding_max_len=8)),
         ),

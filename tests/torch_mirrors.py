@@ -149,7 +149,7 @@ class FeedForwardT(nn.Module):
 
 
 class BasicTransformerBlockT(nn.Module):
-    def __init__(self, dim, heads, dim_head, context_dim):
+    def __init__(self, dim, heads, dim_head, context_dim, temporal=False):
         super().__init__()
         self.norm1 = nn.LayerNorm(dim)
         self.attn1 = CrossAttentionT(dim, heads, dim_head)
@@ -157,24 +157,40 @@ class BasicTransformerBlockT(nn.Module):
         self.attn2 = CrossAttentionT(dim, heads, dim_head, context_dim)
         self.norm3 = nn.LayerNorm(dim)
         self.ff = FeedForwardT(dim)
+        self.temporal = temporal
+        if temporal:
+            # unet_use_temporal_attention sublayer (reference
+            # attention.py:240-251,291-298): frame-axis self attn after the
+            # FFN, zero-init out proj
+            self.attn_temp = CrossAttentionT(dim, heads, dim_head)
+            nn.init.zeros_(self.attn_temp.to_out[0].weight.data)
+            self.norm_temp = nn.LayerNorm(dim)
 
-    def forward(self, x, context):
+    def forward(self, x, context, video_length=1):
         x = self.attn1(self.norm1(x)) + x
         x = self.attn2(self.norm2(x), context) + x
-        return self.ff(self.norm3(x)) + x
+        x = self.ff(self.norm3(x)) + x
+        if self.temporal:
+            bf, d, c = x.shape
+            b = bf // video_length
+            t = x.reshape(b, video_length, d, c).permute(0, 2, 1, 3).reshape(b * d, video_length, c)
+            t = self.attn_temp(self.norm_temp(t)) + t
+            x = t.reshape(b, d, video_length, c).permute(0, 2, 1, 3).reshape(bf, d, c)
+        return x
 
 
 class Transformer3DModelT(nn.Module):
     """Spatial transformer (reference attention.py:52-167): frames fold into
     the batch, text context repeats per frame; GN eps 1e-6; conv 1x1 projs."""
 
-    def __init__(self, channels, heads, context_dim, groups, depth=1):
+    def __init__(self, channels, heads, context_dim, groups, depth=1, temporal=False):
         super().__init__()
         dim_head = channels // heads
         self.norm = nn.GroupNorm(groups, channels, eps=1e-6)
         self.proj_in = nn.Conv2d(channels, channels, 1)
         self.transformer_blocks = nn.ModuleList(
-            [BasicTransformerBlockT(channels, heads, dim_head, context_dim) for _ in range(depth)]
+            [BasicTransformerBlockT(channels, heads, dim_head, context_dim, temporal=temporal)
+             for _ in range(depth)]
         )
         self.proj_out = nn.Conv2d(channels, channels, 1)
 
@@ -186,7 +202,7 @@ class Transformer3DModelT(nn.Module):
         hid = hid.permute(0, 2, 3, 1).reshape(b * f, h * w, c)
         ctx = context.repeat_interleave(f, dim=0)
         for blk in self.transformer_blocks:
-            hid = blk(hid, ctx)
+            hid = blk(hid, ctx, video_length=f)
         hid = hid.reshape(b * f, h, w, c).permute(0, 3, 1, 2)
         hid = self.proj_out(hid)
         hid = hid.reshape(b, f, c, h, w).permute(0, 2, 1, 3, 4)
@@ -331,7 +347,8 @@ class TorchUNet3D(nn.Module):
                 blk.resnets.append(ResnetBlock3DT(ch, out_ch, temb_dim, groups, inflated))
                 if has_cross:
                     blk.attentions.append(
-                        Transformer3DModelT(out_ch, cfg.attention_heads, cfg.cross_attention_dim, groups)
+                        Transformer3DModelT(out_ch, cfg.attention_heads, cfg.cross_attention_dim, groups,
+                                            temporal=getattr(cfg, "temporal_attention", False))
                     )
                 if use_motion:
                     blk.motion_modules.append(motion(out_ch))
@@ -349,7 +366,8 @@ class TorchUNet3D(nn.Module):
             [ResnetBlock3DT(ch, ch, temb_dim, groups, inflated) for _ in range(2)]
         )
         mid.attentions = nn.ModuleList(
-            [Transformer3DModelT(ch, cfg.attention_heads, cfg.cross_attention_dim, groups)]
+            [Transformer3DModelT(ch, cfg.attention_heads, cfg.cross_attention_dim, groups,
+                                temporal=getattr(cfg, "temporal_attention", False))]
         )
         if cfg.use_motion_module and cfg.motion_module_mid_block:
             mid.motion_modules = nn.ModuleList([motion(ch)])
@@ -373,7 +391,8 @@ class TorchUNet3D(nn.Module):
                 blk.resnets.append(ResnetBlock3DT(ch + skip, out_ch, temb_dim, groups, inflated))
                 if has_cross:
                     blk.attentions.append(
-                        Transformer3DModelT(out_ch, cfg.attention_heads, cfg.cross_attention_dim, groups)
+                        Transformer3DModelT(out_ch, cfg.attention_heads, cfg.cross_attention_dim, groups,
+                                            temporal=getattr(cfg, "temporal_attention", False))
                     )
                 if use_motion:
                     blk.motion_modules.append(motion(out_ch))
