@@ -45,16 +45,57 @@ def set_pallas_enabled(flag: bool) -> None:
     _PALLAS_ENABLED = bool(flag)
 
 
-# trace-time flash-forcing context: XLA's fused attention materializes the
-# (B·F, H, N, N) logits (8.6GB at 32 frames, 512px — OOMs a 16GB v5e); the
-# engine wraps window tracing in force_flash() when the window geometry
-# demands O(N)-memory attention. A context (not a shape rule) because the
-# same attention shape appears in Euler/CFG 16-frame windows, where the
-# whole window fits and XLA's form is the measured-faster choice.
+# trace-time memory-bounding context: XLA's fused attention materializes
+# the (B·F, H, N, N) logits (8.6GB at 32 frames, 512px — OOMs a 16GB v5e);
+# the engine wraps window tracing in force_flash() when the window geometry
+# demands memory-bounded attention. A context (not a shape rule) because
+# the same attention shape appears in Euler/CFG 16-frame windows, where the
+# whole window fits and XLA's unbounded form is the measured-faster choice.
+#
+# Under the context, big shapes run the Pallas flash kernel. The obvious
+# alternative — CHUNKED XLA attention (lax.map over batch chunks sized to a
+# logits budget), keeping XLA's plain-form kernel that beats flash outside
+# scans (9.9 vs 12.2 ms at (16,4096,8,40), r2) — was built and MEASURED
+# 3.4x SLOWER in-scan on v5e (perf/hbmchunk_r4.json: 75.8 vs 22.3 ms/call
+# at (32,4096,8,40), 112 vs 31.9 at (48,...)): inside lax.map/scan XLA
+# loses the fusion that makes its unbounded form fast. Don't retry;
+# `_chunked_xla_attention` below is kept as the measured-slower reference
+# (exactness-tested) with the numbers.
 _FLASH_CTX = [False]
 
+# Chunked-XLA logits budget: F=24 windows materialize 6.4GB and run fine on
+# a 16GB v5e alongside bf16 params; stay under that with headroom.
+_LOGITS_BUDGET_BYTES = 5_000_000_000
 
-class force_flash:
+
+def _chunked_xla_attention(q, k, v):
+    """XLA fused attention over batch chunks small enough that one chunk's
+    (c, H, N, N) logits fit the budget; lax.map serializes chunks so peak
+    memory is a single chunk's. Exact — attention is independent per batch
+    element. NOT dispatched to: measured 3.4x slower than the Pallas flash
+    kernel in-scan (see the bounded_memory note above)."""
+    B, N, H, _ = q.shape
+    per_b = H * N * N * jnp.dtype(q.dtype).itemsize
+    c = max(
+        (d for d in range(1, B + 1) if B % d == 0 and d * per_b <= _LOGITS_BUDGET_BYTES),
+        default=1,
+    )
+    if c == B:
+        return jax.nn.dot_product_attention(q, k, v)
+    shape = (B // c, c, *q.shape[1:])
+    out = jax.lax.map(
+        lambda t: jax.nn.dot_product_attention(*t),
+        (q.reshape(shape), k.reshape(shape), v.reshape(shape)),
+    )
+    return out.reshape(q.shape)
+
+
+class bounded_memory:
+    """Trace-time context: attention shapes whose full logits exceed the
+    budget run chunked XLA attention. Enter only when bounding (see the
+    engine: a nested (False) would overwrite an outer (True) for the whole
+    scan trace)."""
+
     def __init__(self, flag: bool = True):
         self.flag = bool(flag)
 
@@ -65,6 +106,11 @@ class force_flash:
 
     def __exit__(self, *exc):
         _FLASH_CTX[0] = self.prev
+
+
+# historical name (pre-r4 the context forced the Pallas flash kernel; it
+# now bounds memory via chunked XLA, the measured-faster form)
+force_flash = bounded_memory
 
 
 def _on_tpu() -> bool:

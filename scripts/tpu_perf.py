@@ -1102,6 +1102,33 @@ def bench_banded():
                 assert s["frames_written"] == total, s
 
 
+def bench_hbmchunk():
+    """Big-window level-0 spatial attention: Pallas flash (the pre-r4
+    bounded-memory fallback) vs CHUNKED XLA fused attention (lax.map over
+    batch chunks under the logits budget) at the F=32 shape (32,4096,8,40)
+    whose full XLA logits (8.6GB) OOM a v5e. Loop-in-jit x8 so dispatch
+    floors cancel."""
+    from controlanimate_tpu.ops import attention as attn_mod
+    from controlanimate_tpu.ops.flash_attention import flash_attention
+
+    key = jax.random.PRNGKey(0)
+    for shape in ((32, 4096, 8, 40), (48, 4096, 8, 40)):
+        ks = jax.random.split(key, 3)
+        q, k, v = (jax.random.normal(kk, shape, jnp.bfloat16) for kk in ks)
+
+        def loop(fn, q, k, v, n=8):
+            def body(c, _):
+                o = fn(c, k, v)
+                return o, ()
+            out, _ = jax.lax.scan(body, q, None, length=n)
+            return out
+
+        f_flash = jax.jit(lambda q, k, v: loop(flash_attention, q, k, v))
+        f_chunk = jax.jit(lambda q, k, v: loop(attn_mod._chunked_xla_attention, q, k, v))
+        timeit(f"hbm l0 {shape} [flash]", f_flash, q, k, v)
+        timeit(f"hbm l0 {shape} [chunked-xla]", f_chunk, q, k, v)
+
+
 def bench_eulerab():
     """Euler 30-step denoise: XLA fused attention (new default after the
     force_flash context replaced the shape-based HBM rule) vs flash-forced
@@ -1133,8 +1160,13 @@ def bench_eulerab():
     den2 = eng2._make_denoise_fn(st, sched)
 
     def flashed(*a):
-        with attn_mod.force_flash(True):
+        # global enable (equivalent to the bounded_memory context here:
+        # both force the Pallas kernel at seq >= 256)
+        attn_mod.set_pallas_enabled(True)
+        try:
             return den2(*a)
+        finally:
+            attn_mod.set_pallas_enabled(False)
 
     timeit("euler denoise [flash-l0]", flashed, eng.m.unet_params, (), text, (), lat, key, iters=2)
 
@@ -1221,6 +1253,8 @@ if __name__ == "__main__":
         bench_f24v2()
     if "eulerab" in which:
         bench_eulerab()
+    if "hbmchunk" in which:
+        bench_hbmchunk()
     if "banded" in which:
         bench_banded()
     if "attnxl" in which:

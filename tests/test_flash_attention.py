@@ -84,3 +84,55 @@ def test_dispatch_policy(monkeypatch):
     assert run(2, 4096, 8, 40) == 0      # level-0 spatial: XLA wins
     assert run(2, 256, 8, 160) == 0      # short seq: XLA
     assert run(2, 4096, 8, 80, Nk=77) == 0  # cross-attention: XLA
+
+
+# ---------------------------------------------------------------------------
+# Chunked XLA attention (the bounded_memory context's big-window path)
+# ---------------------------------------------------------------------------
+
+
+def _qkv(shape, seed=2, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    return tuple(jax.random.normal(k, shape, dtype) for k in ks)
+
+
+def test_chunked_xla_attention_exact(monkeypatch):
+    """Chunking over the batch axis is exact (attention is independent per
+    batch element) and picks the largest divisor chunk under the budget."""
+    from controlanimate_tpu.ops import attention as A
+
+    q, k, v = _qkv((12, 64, 2, 16))
+    per_b = 2 * 64 * 64 * 4  # H*N*N*itemsize
+    # budget allows 4 batch elements per chunk -> c=4 (largest divisor <= 4)
+    monkeypatch.setattr(A, "_LOGITS_BUDGET_BYTES", 4 * per_b)
+    out = A._chunked_xla_attention(q, k, v)
+    ref = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+    # degenerate budget: chunk of 1 still exact
+    monkeypatch.setattr(A, "_LOGITS_BUDGET_BYTES", 1)
+    out1 = A._chunked_xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_bounded_memory_context_and_alias():
+    """The context nests/restores correctly and the historical force_flash
+    name stays an alias (the engine and measurement harness import it).
+    Dispatch under the context goes to the Pallas flash kernel on TPU —
+    the chunked-XLA alternative measured 3.4x slower in-scan
+    (perf/hbmchunk_r4.json) and is deliberately NOT dispatched."""
+    from controlanimate_tpu.ops import attention as A
+
+    assert A.force_flash is A.bounded_memory
+    assert A._FLASH_CTX[0] is False
+    with A.bounded_memory(True):
+        assert A._FLASH_CTX[0] is True
+        with A.bounded_memory(True):
+            assert A._FLASH_CTX[0] is True
+        assert A._FLASH_CTX[0] is True
+    assert A._FLASH_CTX[0] is False
+    # numerics under the context are unchanged on CPU (flash needs TPU)
+    q, k, v = _qkv((8, 256, 2, 16), seed=3)
+    base = A.dot_product_attention(q, k, v)
+    with A.bounded_memory(True):
+        out = A.dot_product_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=2e-5, rtol=1e-4)
