@@ -1129,6 +1129,80 @@ def bench_hbmchunk():
         timeit(f"hbm l0 {shape} [chunked-xla]", f_chunk, q, k, v)
 
 
+def bench_int8():
+    """v5e int8-MXU rate probe: does int8 x int8 -> int32 actually run at
+    ~2x the bf16 MXU rate through jax/XLA on this stack? Gate for any
+    opt-in quantized-denoise work — if the lowering doesn't approach the
+    int8 rate (v5e peak 394 TOPS int8 vs 197 TFLOP/s bf16), weight/act
+    quantization buys nothing and should not be built. Loop-in-jit with a
+    requantize (>>7 -> int8) between steps so each iteration depends on the
+    last and the requantize cost (real in any quantized model) is included;
+    bf16 arm normalizes + casts back for symmetry."""
+    key = jax.random.PRNGKey(0)
+
+    # --- square matmul, MXU-saturating geometry
+    M = K = N = 8192
+    xf = jax.random.normal(key, (M, K), jnp.bfloat16)
+    wf = jax.random.normal(jax.random.split(key)[0], (K, N), jnp.bfloat16)
+    xi = (xf * 10).astype(jnp.int8)
+    wi = (wf * 10).astype(jnp.int8)
+    iters = 8
+    flops = 2.0 * M * K * N * iters
+
+    def loop_bf16(x, w):
+        def body(c, _):
+            y = jnp.dot(c, w)  # f32 accumulation (XLA TPU default)
+            return (y * (1.0 / K)).astype(jnp.bfloat16), ()
+        out, _ = jax.lax.scan(body, x, None, length=iters)
+        return out
+
+    def loop_int8(x, w):
+        def body(c, _):
+            y = jax.lax.dot_general(
+                c, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return jax.lax.shift_right_arithmetic(y, 7).astype(jnp.int8), ()
+        out, _ = jax.lax.scan(body, x, None, length=iters)
+        return out
+
+    b = timeit(f"int8 mm {M}x{K}x{N} [bf16]", jax.jit(loop_bf16), xf, wf)
+    i = timeit(f"int8 mm {M}x{K}x{N} [int8]", jax.jit(loop_int8), xi, wi)
+    log(f"  matmul: bf16 {flops / b / 1e12:.1f} TFLOP/s, int8 "
+        f"{flops / i / 1e12:.1f} TOP/s, speedup {b / i:.2f}x")
+
+    # --- UNet-geometry conv3x3 (level-0 denoise workhorse)
+    B, H, W, C = 16, 64, 64, 320
+    xf = jax.random.normal(key, (B, H, W, C), jnp.bfloat16)
+    kf = jax.random.normal(jax.random.split(key)[1], (3, 3, C, C), jnp.bfloat16) * 0.05
+    xi = (xf * 10).astype(jnp.int8)
+    ki = (kf * 200).astype(jnp.int8)
+    cflops = 2.0 * B * H * W * C * C * 9 * iters
+    dn = jax.lax.conv_dimension_numbers(xf.shape, kf.shape, ("NHWC", "HWIO", "NHWC"))
+
+    def conv_bf16(x, k):
+        def body(c, _):
+            y = jax.lax.conv_general_dilated(c, k, (1, 1), "SAME", dimension_numbers=dn)
+            return (y * (1.0 / C)).astype(jnp.bfloat16), ()
+        out, _ = jax.lax.scan(body, x, None, length=iters)
+        return out
+
+    def conv_int8(x, k):
+        def body(c, _):
+            y = jax.lax.conv_general_dilated(
+                c, k, (1, 1), "SAME", dimension_numbers=dn,
+                preferred_element_type=jnp.int32,
+            )
+            return jax.lax.shift_right_arithmetic(y, 7).astype(jnp.int8), ()
+        out, _ = jax.lax.scan(body, x, None, length=iters)
+        return out
+
+    b = timeit(f"int8 conv3x3 {(B, H, W, C)} [bf16]", jax.jit(conv_bf16), xf, kf)
+    i = timeit(f"int8 conv3x3 {(B, H, W, C)} [int8]", jax.jit(conv_int8), xi, ki)
+    log(f"  conv3x3: bf16 {cflops / b / 1e12:.1f} TFLOP/s, int8 "
+        f"{cflops / i / 1e12:.1f} TOP/s, speedup {b / i:.2f}x")
+
+
 def bench_eulerab():
     """Euler 30-step denoise: XLA fused attention (new default after the
     force_flash context replaced the shape-based HBM rule) vs flash-forced
@@ -1255,6 +1329,8 @@ if __name__ == "__main__":
         bench_eulerab()
     if "hbmchunk" in which:
         bench_hbmchunk()
+    if "int8" in which:
+        bench_int8()
     if "banded" in which:
         bench_banded()
     if "attnxl" in which:
