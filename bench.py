@@ -349,12 +349,20 @@ def measure_overlap8(pipeline, frames=24, size=512, windows=16, overlap=8) -> fl
     rng = np.random.RandomState(1)
     frames_in = (rng.rand(total, size, size, 3) * 255).astype(np.uint8)
 
+    class YuvSink(ArrayFrameSink):
+        # the shipped profile emits I420 to x264 (sink_pix_fmt yuv420p when
+        # ffmpeg is present); matching it here halves the per-window readback
+        # vs rgb24 — on slow tunnel sessions the emit fetch is what bounds
+        # the orchestrator (bench_r4c: upscale_and_emit 2991 vs 1693 ms/window
+        # for the same binary, device timings identical)
+        pix_fmt = "yuv420p"
+
     def run(tag, pipe, cfg):
         """One orchestrator pass with the diagnostics VERDICT r3 weak #1
         asked for: per-window wall deltas, section cache-miss count, and the
         orchestrator's own phase timers — a slow capture is diagnosable from
         the artifact alone (compiles vs host stalls vs tunnel warmup)."""
-        sink = ArrayFrameSink()
+        sink = YuvSink()
         ticks = []
         before = {p.name for p in CACHE_DIR.glob("*-cache")}
         t0 = time.time()

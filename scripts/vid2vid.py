@@ -613,6 +613,12 @@ def vid2vid(
         # while the device computes (it otherwise serializes ~0.3s/window on
         # remote-attached chips). Tail overlap flushes after the loop.
         frames_written += emit
+        if hasattr(packed, "copy_to_host_async"):
+            # start the d2h immediately: without this the transfer only
+            # begins when _flush_emit blocks in np.asarray, wasting the link
+            # during the next iteration's prefetch join and dispatch (on slow
+            # remote-attach sessions the emit fetch is what bounds throughput)
+            packed.copy_to_host_async()
         pending_emit = (packed, to_yuv, frames_written - emit, list(batch[:emit]))
 
         state.epoch += 1
@@ -914,6 +920,8 @@ def _run_segments(
                 out, anchor, overlap_out if w > 0 else None,
                 overlap_length=ov, to_yuv=to_yuv, emit=emit,
             )
+        if hasattr(packed, "copy_to_host_async"):
+            packed.copy_to_host_async()  # see the sequential loop's note
         pending_packed = packed
         if progress is not None:
             # frames are sink-written in order at the end; report generated
