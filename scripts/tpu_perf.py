@@ -21,6 +21,20 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def yuv_sink():
+    """In-memory sink taking the product's I420 payload (pix_fmt yuv420p,
+    what the ffmpeg path feeds x264) — half the per-window d2h of rgb24.
+    All orchestrator-fps sections use this so their numbers are comparable
+    with bench.py's overlap-8 line (which switched with the r4 emit-path
+    fix; earlier artifacts measured the heavier rgb24 readback)."""
+    from controlanimate_tpu.io.media import ArrayFrameSink
+
+    class _YuvArraySink(ArrayFrameSink):
+        pix_fmt = "yuv420p"
+
+    return _YuvArraySink()
+
+
 def timeit(name, fn, *args, iters=3):
     t0 = time.time()
     out = fn(*args)
@@ -265,7 +279,7 @@ def bench_e2e_loop():
         rng = np.random.RandomState(0)
         # 16 + 5*8 new frames -> 6 windows
         frames_in = (rng.rand(56, 512, 512, 3) * 255).astype(np.uint8)
-        sink = ArrayFrameSink()
+        sink = yuv_sink()
         t0 = time.time()
         summary = vid2vid(
             config=cfg, pipeline=pipeline,
@@ -278,7 +292,7 @@ def bench_e2e_loop():
             f"{summary['timers']}")
         assert summary["frames_written"] == 56, summary
         # steady-state: run again with everything compiled
-        sink2 = ArrayFrameSink()
+        sink2 = yuv_sink()
         t0 = time.time()
         summary2 = vid2vid(
             config=cfg, pipeline=pipeline,
@@ -330,7 +344,7 @@ def bench_segments():
                 parallel_segments=S if S > 1 else 0,
             )
             for tag in ("cold", "warm"):
-                sink = ArrayFrameSink()
+                sink = yuv_sink()
                 t0 = time.time()
                 s = vid2vid(config=cfg, pipeline=pipeline,
                             frame_source=ArrayFrameSource(frames_in),
@@ -876,11 +890,11 @@ def bench_bigwin():
             t0 = time.time()
             summary = vid2vid(
                 config=cfg, pipeline=pipeline,
-                frame_source=ArrayFrameSource(frames_in), frame_sink=ArrayFrameSink(),
+                frame_source=ArrayFrameSource(frames_in), frame_sink=yuv_sink(),
             )
             log(f"F={F} cold: {summary['frames_written']} frames/"
                 f"{summary['windows']} win in {time.time()-t0:.1f}s")
-            sink = ArrayFrameSink()
+            sink = yuv_sink()
             t0 = time.time()
             summary = vid2vid(
                 config=cfg, pipeline=pipeline,
@@ -1090,7 +1104,7 @@ def bench_banded():
                 )
                 pipeline = ControlAnimatePipeline(cfg, models=m2, text_stack=text)
             for tag in ("cold", "warm"):
-                sink = ArrayFrameSink()
+                sink = yuv_sink()
                 t0 = time.time()
                 s = vid2vid(config=cfg, pipeline=pipeline,
                             frame_source=ArrayFrameSource(frames_in),
