@@ -1217,6 +1217,37 @@ def bench_int8():
         f"{cflops / i / 1e12:.1f} TOP/s, speedup {b / i:.2f}x")
 
 
+def bench_flashsweep():
+    """Block-size sweep of the Pallas flash kernel at the level-0 denoise
+    hotspot (profiler: 5 fusions x 10.5 ms/step; MXU floor with the D40->128
+    pad is ~5.6 ms, XLA's fused form ~9.9, current flash ~12.2 — if a block
+    config lands under XLA's, the bounded_memory path speeds up F>=32
+    windows and the dispatch table may flip). In-scan (loop-in-jit x8), the
+    regime the denoise program actually runs in."""
+    import functools
+
+    from controlanimate_tpu.ops.flash_attention import flash_attention
+
+    key = jax.random.PRNGKey(0)
+    for shape in ((16, 4096, 8, 40), (32, 4096, 8, 40)):
+        ks = jax.random.split(key, 3)
+        q, k, v = (jax.random.normal(kk, shape, jnp.bfloat16) for kk in ks)
+
+        def loop(fn, q, k, v, n=8):
+            def body(c, _):
+                return fn(c, k, v), ()
+            out, _ = jax.lax.scan(body, q, None, length=n)
+            return out
+
+        log(f"--- flashsweep {shape}")
+        f_xla = jax.jit(lambda q, k, v: loop(jax.nn.dot_product_attention, q, k, v))
+        timeit("  xla-fused (in-scan baseline)", f_xla, q, k, v)
+        for bq in (256, 512, 1024, 2048, 4096):
+            fn = functools.partial(flash_attention, block_q=bq)
+            f = jax.jit(lambda q, k, v, fn=fn: loop(fn, q, k, v))
+            timeit(f"  flash bq={bq}", f, q, k, v)
+
+
 def bench_eulerab():
     """Euler 30-step denoise: XLA fused attention (new default after the
     force_flash context replaced the shape-based HBM rule) vs flash-forced
@@ -1345,6 +1376,8 @@ if __name__ == "__main__":
         bench_hbmchunk()
     if "int8" in which:
         bench_int8()
+    if "flashsweep" in which:
+        bench_flashsweep()
     if "banded" in which:
         bench_banded()
     if "attnxl" in which:
