@@ -144,6 +144,7 @@ class Upscaler:
         model_path: Optional[str] = None,
         face_enhancer_model_path: Optional[str] = None,
         num_block: int = 6,
+        dtype: jnp.dtype = jnp.float32,
     ):
         if not (1 < scale < 8):
             raise ValueError("upscale must be within (1, 8) (reference: upscaler.py:64)")
@@ -153,7 +154,11 @@ class Upscaler:
         path = Path(model_path or "models/Upscalers/RealESRGAN_x4plus_anime_6B.pth")
         if not path.exists():
             raise FileNotFoundError(f"RealESRGAN weights not found at {path}")
-        self.model = RRDBNet(num_block=num_block)
+        # `dtype` is the COMPUTE dtype (params stay f32, cast at use — the
+        # flax policy the UNet follows). The reference runs its RealESRGANer
+        # with half=True (modules/upscaler.py:50); the orchestrator passes
+        # the run dtype so bf16 runs upscale in bf16 too.
+        self.model = RRDBNet(num_block=num_block, dtype=dtype)
         self.params = jax.device_put(rrdbnet_params_from_torch(ingest.load_state_dict(path), num_block))
         self._jit = jax.jit(
             lambda p, x: self.model.apply({"params": p}, x)

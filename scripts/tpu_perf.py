@@ -1217,6 +1217,74 @@ def bench_int8():
         f"{cflops / i / 1e12:.1f} TOP/s, speedup {b / i:.2f}x")
 
 
+def bench_upscale4():
+    """The shipped LCM profiles run upscale 4 through RealESRGAN (reference
+    SampleConfigLCM*.yaml:96 'upscale: 4'; LCMLoRA ships use_face_enhancer 0
+    -> the device-RRDB emit path). Measure the FULL orchestrator at the
+    overlap-8 F=24 workload with a synthetic anime_6B-geometry RRDBNet
+    (conv cost is weight-independent), bf16 (the run dtype — reference runs
+    RealESRGANer half=True) vs f32, same session. Compare against the
+    upscale-1 bench line to price the upscaler into the shipped profile."""
+    import tempfile
+
+    import numpy as np
+    import torch
+
+    import bench
+    from controlanimate_tpu.io.media import ArrayFrameSource
+    from controlanimate_tpu.models.upscaler import Upscaler
+    from scripts.vid2vid import vid2vid
+
+    rng = np.random.RandomState(0)
+
+    def w(o, i):
+        return torch.from_numpy(((rng.rand(o, i, 3, 3) - 0.5) * 0.05).astype(np.float32))
+
+    def b(o):
+        return torch.from_numpy(np.zeros(o, np.float32))
+
+    sd = {"conv_first.weight": w(64, 3), "conv_first.bias": b(64)}
+    ins, outs = (64, 96, 128, 160, 192), (32, 32, 32, 32, 64)
+    for blk in range(6):
+        for r in (1, 2, 3):
+            for c in range(1, 6):
+                sd[f"body.{blk}.rdb{r}.conv{c}.weight"] = w(outs[c - 1], ins[c - 1])
+                sd[f"body.{blk}.rdb{r}.conv{c}.bias"] = b(outs[c - 1])
+    for t in ("conv_body", "conv_up1", "conv_up2", "conv_hr"):
+        sd[f"{t}.weight"] = w(64, 64)
+        sd[f"{t}.bias"] = b(64)
+    sd["conv_last.weight"] = w(3, 64)
+    sd["conv_last.bias"] = b(3)
+    ckpt = "/tmp/rrdb_synth_6b.pth"
+    torch.save({"params_ema": sd}, ckpt)
+
+    F, ov, windows = 24, 8, 8
+    total = F + (windows - 1) * (F - ov)
+    frames_in = (np.random.RandomState(1).rand(total, 512, 512, 3) * 255).astype(np.uint8)
+    with tempfile.TemporaryDirectory() as td:
+        cfg = bench.RunConfig(
+            width=512, height=512, frame_count=F, overlap_length=ov,
+            use_lcm=True, steps=4, guidance_scale=7.5, strength=0.9,
+            overlap_strength=0.9, lcm_origin_steps=50, prompt="a cat",
+            n_prompt="", seed=7, dtype="bfloat16", output_video_dir=td,
+            upscale=4.0, checkpoint_interval=0,
+        )
+        pipeline = bench.build_pipeline(cfg)
+        for dt_name, dt in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
+            upscaler = Upscaler(4.0, model_path=ckpt, num_block=6, dtype=dt)
+            for tag in ("cold", "warm"):
+                sink = yuv_sink()
+                t0 = time.time()
+                s = vid2vid(config=cfg, pipeline=pipeline,
+                            frame_source=ArrayFrameSource(frames_in),
+                            frame_sink=sink, upscaler=upscaler)
+                wall = time.time() - t0
+                log(f"upscale4[{dt_name}] {tag}: {s['frames_written']} frames"
+                    f" / {s['windows']} windows in {wall:.1f}s -> "
+                    f"{s['frames_written'] / wall:.2f} emitted fps | timers "
+                    f"{ {k: round(v['total_s'], 2) for k, v in s.get('timers', {}).items()} }")
+
+
 def bench_flashsweep():
     """Block-size sweep of the Pallas flash kernel at the level-0 denoise
     hotspot (profiler: 5 fusions x 10.5 ms/step; MXU floor with the D40->128
@@ -1378,6 +1446,8 @@ if __name__ == "__main__":
         bench_int8()
     if "flashsweep" in which:
         bench_flashsweep()
+    if "upscale4" in which:
+        bench_upscale4()
     if "banded" in which:
         bench_banded()
     if "attnxl" in which:

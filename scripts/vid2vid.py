@@ -286,6 +286,9 @@ def vid2vid(
                 upscale_first=cfg.upscale_first,
                 model_path=cfg.upscaler_model_path,
                 face_enhancer_model_path=cfg.face_enhancer_model_path,
+                # run dtype (reference runs RealESRGANer half=True; bf16 is
+                # the TPU half-precision analog, fp32 honored when asked)
+                dtype=jnp.float32 if cfg.dtype == "float32" else jnp.bfloat16,
             )
         except FileNotFoundError:
             upscaler = None  # no local RealESRGAN weights: emit raw frames
@@ -613,11 +616,15 @@ def vid2vid(
         # while the device computes (it otherwise serializes ~0.3s/window on
         # remote-attached chips). Tail overlap flushes after the loop.
         frames_written += emit
-        if hasattr(packed, "copy_to_host_async"):
+        if upscaler is None and hasattr(packed, "copy_to_host_async"):
             # start the d2h immediately: without this the transfer only
             # begins when _flush_emit blocks in np.asarray, wasting the link
             # during the next iteration's prefetch join and dispatch (on slow
-            # remote-attach sessions the emit fetch is what bounds throughput)
+            # remote-attach sessions the emit fetch is what bounds
+            # throughput). Skipped under an upscaler: _emit transforms
+            # `packed` on device first, so the prefetched RGB bytes would
+            # never be read and only compete with the (4x bigger) upscaled
+            # emit transfer
             packed.copy_to_host_async()
         pending_emit = (packed, to_yuv, frames_written - emit, list(batch[:emit]))
 

@@ -121,6 +121,24 @@ def test_upscaler_facade_batch(synthetic_ckpt):
     assert diff.max() <= 1 and (diff > 0).mean() < 1e-3
 
 
+def test_upscaler_bf16_compute_dtype(synthetic_ckpt):
+    """dtype= is the compute dtype (params stay f32) — the TPU analog of the
+    reference's RealESRGANer half=True (modules/upscaler.py:50), passed by
+    the orchestrator for bf16 runs. bf16 output stays within a few u8 LSB of
+    the f32 path on a smooth input."""
+    up32 = Upscaler(scale=4.0, model_path=synthetic_ckpt, num_block=1)
+    up16 = Upscaler(scale=4.0, model_path=synthetic_ckpt, num_block=1,
+                    dtype=jnp.bfloat16)
+    # params stay f32 regardless of the compute dtype
+    leaf = jax.tree_util.tree_leaves(up16.params)[0]
+    assert leaf.dtype == jnp.float32
+    frames = (np.random.RandomState(2).rand(1, 8, 8, 3) * 255).astype(np.uint8)
+    a = up32.upscale_batch(frames).astype(np.int16)
+    b = up16.upscale_batch(frames).astype(np.int16)
+    assert b.shape == a.shape
+    assert np.abs(a - b).max() <= 12  # bf16 mantissa: ~3 u8 LSB per conv chain
+
+
 def test_upscaler_scale_range(synthetic_ckpt):
     with pytest.raises(ValueError):
         Upscaler(scale=8.0, model_path=synthetic_ckpt)
