@@ -172,10 +172,26 @@ class Upscaler:
             except FileNotFoundError:
                 self.face_enhancer = None  # no GFPGAN weights: upscale only
 
+    def _hbm_chunk(self, n: int, h: int, w: int) -> int:
+        """Frames per RRDB dispatch: the network's 4x-res 64-channel
+        activations dominate HBM — measured on v5e, TWO live copies each
+        padded ~2x by the TPU layout (an unchunked 16-frame 512px batch
+        allocates 2 x 16GB and OOMs a 15.75GB chip). Largest divisor of n
+        whose peak stays under ~8GB; divisor so every chunk shares one
+        compiled program shape."""
+        act = (4 * h) * (4 * w) * 64 * jnp.dtype(self.model.dtype).itemsize
+        per_frame = 4 * act  # 2 live copies x ~2x layout padding
+        cap = max(1, int(8e9 // per_frame))
+        return max((d for d in range(1, n + 1) if n % d == 0 and d <= cap), default=1)
+
     def upscale_batch(self, frames: np.ndarray) -> np.ndarray:
         """(F, H, W, 3) uint8 -> (F, H*s, W*s, 3) uint8."""
+        F, H, W = frames.shape[:3]
+        c = self._hbm_chunk(F, H, W)
         x = jnp.asarray(frames, jnp.float32) / 255.0
-        y = np.asarray(self._jit(self.params, x)).clip(0, 1)
+        y = np.concatenate([
+            np.asarray(self._jit(self.params, x[i:i + c])) for i in range(0, F, c)
+        ]).clip(0, 1)
         out = (y * 255.0 + 0.5).astype(np.uint8)
         if abs(self.scale - 4.0) > 1e-6:
             import cv2
@@ -202,7 +218,15 @@ class Upscaler:
                     0.0, 255.0,
                 ).astype(jnp.uint8)
             )
-        return self._jit_u8(self.params, frames_dev)
+        F, H, W = (int(s) for s in frames_dev.shape[:3])
+        c = self._hbm_chunk(F, H, W)
+        if c >= F:
+            return self._jit_u8(self.params, frames_dev)
+        # chunks dispatch back-to-back (device serializes them; each chunk's
+        # HBM peak is bounded) and concatenate device-side
+        return jnp.concatenate([
+            self._jit_u8(self.params, frames_dev[i:i + c]) for i in range(0, F, c)
+        ])
 
     def process_batch(self, frames: np.ndarray) -> np.ndarray:
         """Whole-window path: the RRDB upscale always runs as ONE jitted
