@@ -1217,23 +1217,11 @@ def bench_int8():
         f"{cflops / i / 1e12:.1f} TOP/s, speedup {b / i:.2f}x")
 
 
-def bench_upscale4():
-    """The shipped LCM profiles run upscale 4 through RealESRGAN (reference
-    SampleConfigLCM*.yaml:96 'upscale: 4'; LCMLoRA ships use_face_enhancer 0
-    -> the device-RRDB emit path). Measure the FULL orchestrator at the
-    overlap-8 F=24 workload with a synthetic anime_6B-geometry RRDBNet
-    (conv cost is weight-independent), bf16 (the run dtype — reference runs
-    RealESRGANer half=True) vs f32, same session. Compare against the
-    upscale-1 bench line to price the upscaler into the shipped profile."""
-    import tempfile
-
+def _synth_rrdb_ckpt() -> str:
+    """Synthetic anime_6B-geometry RRDBNet checkpoint (conv cost is
+    weight-independent) written to /tmp; returns the path."""
     import numpy as np
     import torch
-
-    import bench
-    from controlanimate_tpu.io.media import ArrayFrameSource
-    from controlanimate_tpu.models.upscaler import Upscaler
-    from scripts.vid2vid import vid2vid
 
     rng = np.random.RandomState(0)
 
@@ -1257,6 +1245,56 @@ def bench_upscale4():
     sd["conv_last.bias"] = b(3)
     ckpt = "/tmp/rrdb_synth_6b.pth"
     torch.save({"params_ema": sd}, ckpt)
+    return ckpt
+
+
+def bench_upchunk():
+    """Raw RRDB dispatch rate at 512->2048, (dtype x frames-per-dispatch).
+
+    The upscale4 orchestrator run showed f32 (chunk 1) BEATING bf16
+    (chunk 2) — 62 vs 80 s for 136 frames — which is backwards for an
+    MXU-bound conv net. Disentangle dtype from chunk size: time the
+    device-u8 program per frame for chunk in {1,2,4} x {bf16,f32}."""
+    import numpy as np
+
+    from controlanimate_tpu.models.upscaler import Upscaler
+
+    ckpt = _synth_rrdb_ckpt()
+    x = jnp.asarray((np.random.RandomState(1).rand(4, 512, 512, 3) * 255).astype(np.uint8))
+    for dt_name, dt in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
+        ups = Upscaler(4.0, model_path=ckpt, num_block=6, dtype=dt)
+        ups._jit_u8 = jax.jit(
+            lambda p, xx, m=ups.model: jnp.clip(
+                m.apply({"params": p}, xx.astype(jnp.float32) / 255.0)
+                * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8))
+        log(f"--- upchunk dtype={dt_name} (auto chunk at 512px: "
+            f"{ups._hbm_chunk(16, 512, 512)})")
+        for c in (1, 2, 4):
+            try:
+                best = timeit(f"  chunk={c}", ups._jit_u8, ups.params, x[:c])
+                log(f"  chunk={c}: {best * 1000 / c:.1f} ms/frame")
+            except Exception as e:  # RESOURCE_EXHAUSTED at big chunks
+                log(f"  chunk={c}: FAILED {type(e).__name__}: {str(e)[:200]}")
+
+
+def bench_upscale4():
+    """The shipped LCM profiles run upscale 4 through RealESRGAN (reference
+    SampleConfigLCM*.yaml:96 'upscale: 4'; LCMLoRA ships use_face_enhancer 0
+    -> the device-RRDB emit path). Measure the FULL orchestrator at the
+    overlap-8 F=24 workload with a synthetic anime_6B-geometry RRDBNet,
+    bf16 (the run dtype — reference runs RealESRGANer half=True) vs f32,
+    same session. Compare against the upscale-1 bench line to price the
+    upscaler into the shipped profile."""
+    import tempfile
+
+    import numpy as np
+
+    import bench
+    from controlanimate_tpu.io.media import ArrayFrameSource
+    from controlanimate_tpu.models.upscaler import Upscaler
+    from scripts.vid2vid import vid2vid
+
+    ckpt = _synth_rrdb_ckpt()
 
     F, ov, windows = 24, 8, 8
     total = F + (windows - 1) * (F - ov)
@@ -1448,6 +1486,8 @@ if __name__ == "__main__":
         bench_flashsweep()
     if "upscale4" in which:
         bench_upscale4()
+    if "upchunk" in which:
+        bench_upchunk()
     if "banded" in which:
         bench_banded()
     if "attnxl" in which:
