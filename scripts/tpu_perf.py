@@ -1260,6 +1260,18 @@ def bench_upchunk():
     from controlanimate_tpu.models.upscaler import Upscaler
 
     ckpt = _synth_rrdb_ckpt()
+    # analytic roofline at 512->2048, anime_6B geometry (per frame):
+    # RDB convs (9-tap, per 512^2 px): c1 64->32, c2 96->32, c3 128->32,
+    # c4 160->32, c5 192->64 = 239,616 MAC/px; x3 RDB x6 RRDB = 4.31 M/px.
+    # conv_first/body ~0.04 M/px; up1 @1024^2 + up2 @2048^2 (folded, 4/9
+    # MACs) + conv_hr/last @2048^2 = ~0.24 TMAC. Total ~1.4 TMAC = 2.8 TFLOP.
+    px = 512 * 512
+    macs = (4.31e6 + 9 * (3 * 64 + 64 * 64)) * px \
+        + (4 / 9) * 9 * 64 * 64 * (4 * px + 16 * px) \
+        + 9 * (64 * 64 + 64 * 3) * 16 * px
+    log(f"roofline/frame: {2 * macs / 1e12:.2f} TFLOP "
+        f"-> {2 * macs / 197e12 * 1e3:.1f} ms at v5e bf16 peak; "
+        f"~12-15 GB moved unfused -> ~15-18 ms at 819 GB/s")
     x = jnp.asarray((np.random.RandomState(1).rand(4, 512, 512, 3) * 255).astype(np.uint8))
     for dt_name, dt in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
         ups = Upscaler(4.0, model_path=ckpt, num_block=6, dtype=dt)
