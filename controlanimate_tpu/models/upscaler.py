@@ -173,12 +173,23 @@ class Upscaler:
                 self.face_enhancer = None  # no GFPGAN weights: upscale only
 
     def _hbm_chunk(self, n: int, h: int, w: int) -> int:
-        """Frames per RRDB dispatch: the network's 4x-res 64-channel
-        activations dominate HBM — measured on v5e, TWO live copies each
-        padded ~2x by the TPU layout (an unchunked 16-frame 512px batch
-        allocates 2 x 16GB and OOMs a 15.75GB chip). Largest divisor of n
-        whose peak stays under ~8GB; divisor so every chunk shares one
-        compiled program shape."""
+        """Frames per RRDB dispatch. Two constraints, measured on v5e:
+
+        - HBM: the network's 4x-res 64-channel activations dominate — TWO
+          live copies each padded ~2x by the TPU layout (an unchunked
+          16-frame 512px batch allocates 2 x 16GB and OOMs a 15.75GB chip).
+        - Dispatch rate: at large geometry, SMALLER chunks are FASTER
+          (perf/upchunk_r4.json: 512->2048 per-frame 147.5 ms at chunk=1 vs
+          165.3 at chunk=2 in bf16; 140.8 vs 165.3 in f32 — batching buys
+          nothing once a single frame is far above the ~25ms dispatch floor,
+          and the bigger live set adds allocator pressure).
+
+        So: per-frame dispatch once one output frame alone is dispatch-floor
+        dominant (>= 1024^2 output pixels); below that, the largest divisor
+        of n whose HBM peak stays under ~8GB (divisor so every chunk shares
+        one compiled program shape)."""
+        if (4 * h) * (4 * w) >= 1024 * 1024:
+            return 1
         act = (4 * h) * (4 * w) * 64 * jnp.dtype(self.model.dtype).itemsize
         per_frame = 4 * act  # 2 live copies x ~2x layout padding
         cap = max(1, int(8e9 // per_frame))
