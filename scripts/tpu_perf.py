@@ -1320,7 +1320,12 @@ def bench_upscale4():
             upscale=4.0, checkpoint_interval=0,
         )
         pipeline = bench.build_pipeline(cfg)
-        for dt_name, dt in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
+        # bf16-rerun: same config as the first arm, after the session is fully
+        # warm — separates tunnel-session ordering/warmup from a real dtype
+        # effect (r4 first capture: bf16-first lost 22% in-context where the
+        # standalone upchunk probe showed only 4.5%)
+        for dt_name, dt in (("bf16", jnp.bfloat16), ("f32", jnp.float32),
+                            ("bf16-rerun", jnp.bfloat16)):
             upscaler = Upscaler(4.0, model_path=ckpt, num_block=6, dtype=dt)
             for tag in ("cold", "warm"):
                 sink = yuv_sink()

@@ -616,15 +616,28 @@ def vid2vid(
         # while the device computes (it otherwise serializes ~0.3s/window on
         # remote-attached chips). Tail overlap flushes after the loop.
         frames_written += emit
-        if upscaler is None and hasattr(packed, "copy_to_host_async"):
+        if (
+            upscaler is not None and sink_pix_fmt == "yuv420p"
+            and not cfg.save_frames
+        ):
+            # device-upscale emit: dispatch the RRDB + I420 pack NOW and
+            # start the d2h async — the upscaled I420 payload is 16x the
+            # 512px window's (6.3MB/frame at 2048^2) and dominates the
+            # upscale-4 pass when fetched synchronously at flush; deferred
+            # this way it rides the link while the next window denoises
+            try:
+                packed = rgb_to_yuv420(upscaler.upscale_batch_device(packed))
+                to_yuv = True
+                if hasattr(packed, "copy_to_host_async"):
+                    packed.copy_to_host_async()
+            except (ValueError, AttributeError):
+                pass  # host-path upscaler (non-4x / face enhancer): at flush
+        elif upscaler is None and hasattr(packed, "copy_to_host_async"):
             # start the d2h immediately: without this the transfer only
             # begins when _flush_emit blocks in np.asarray, wasting the link
             # during the next iteration's prefetch join and dispatch (on slow
             # remote-attach sessions the emit fetch is what bounds
-            # throughput). Skipped under an upscaler: _emit transforms
-            # `packed` on device first, so the prefetched RGB bytes would
-            # never be read and only compete with the (4x bigger) upscaled
-            # emit transfer
+            # throughput)
             packed.copy_to_host_async()
         pending_emit = (packed, to_yuv, frames_written - emit, list(batch[:emit]))
 
