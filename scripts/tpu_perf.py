@@ -562,6 +562,73 @@ def bench_transfer():
         log(f"d2h 12.6MB u8: {(time.time()-t0)*1000:.1f} ms")
 
 
+def bench_linkprobe():
+    """Does the link overlap d2h with device compute? The upscale-4 pass
+    defers its ~107MB/window I420 fetch behind the next window's dispatch
+    (vid2vid deferred emit); if the tunnel serializes transfer RPCs with
+    compute RPCs the defer buys nothing and the pass is link-bound at the
+    raw d2h rate. Measures: sustained d2h at the upscale-4 window payload,
+    the same transfer concurrent with a ~seconds device compute loop (both
+    orders), and h2d at the window input payload."""
+    import numpy as np
+
+    a = jax.random.normal(jax.random.PRNGKey(0), (8192, 8192), jnp.bfloat16)
+
+    def loop(x, n=400):
+        # sized ~2-3s so overlap against a multi-second transfer resolves
+        def body(c, _):
+            return jnp.tanh(c @ c), ()
+        out, _ = jax.lax.scan(body, x, None, length=n)
+        return out
+
+    f = jax.jit(loop)
+    float(f(a).sum())  # compile + warm
+    t0 = time.time(); float(f(a).sum()); t_comp = time.time() - t0
+    log(f"compute loop: {t_comp:.2f}s")
+
+    mb = 17 * 2048 * 2048 * 3 // 2 / 1e6  # emit frames/window at upscale 4
+    buf = jax.device_put(
+        np.random.randint(0, 255, (17, 2048 * 2048 * 3 // 2), np.uint8))
+    buf.block_until_ready()
+    # jax caches the host copy after the first np.asarray of an array, so a
+    # REAL repeat transfer needs a fresh device buffer each time
+    fresh = jax.jit(lambda x, s: x ^ s)
+    np.asarray(fresh(buf, jnp.uint8(7)))  # first fetch pays session setup
+    t_d2h = None
+    for i in range(2):
+        b = fresh(buf, jnp.uint8(i)); b.block_until_ready()
+        t0 = time.time(); np.asarray(b); t_d2h = time.time() - t0
+        log(f"d2h {mb:.0f}MB: {t_d2h:.2f}s -> {mb / t_d2h:.1f} MB/s")
+
+    # product order: compute dispatched first, then the async fetch of an
+    # already-ready buffer (the deferred emit's exact shape)
+    b = fresh(buf, jnp.uint8(101)); b.block_until_ready()
+    t0 = time.time()
+    r = f(a)
+    b.copy_to_host_async()
+    np.asarray(b)
+    float(r.sum())
+    t_overlap = time.time() - t0
+    log(f"compute-dispatch then async d2h: {t_overlap:.2f}s "
+        f"(serial {t_comp + t_d2h:.2f}s, full overlap {max(t_comp, t_d2h):.2f}s)")
+
+    b = fresh(buf, jnp.uint8(102)); b.block_until_ready()
+    t0 = time.time()
+    b.copy_to_host_async()
+    r = f(a)
+    np.asarray(b)
+    float(r.sum())
+    log(f"async d2h then compute-dispatch: {time.time() - t0:.2f}s")
+
+    x_in = np.random.randint(0, 255, (24, 512, 512, 3)).astype(np.uint8)
+    s = jax.jit(lambda x: x.astype(jnp.float32).sum())
+    float(s(jax.device_put(x_in)))
+    for _ in range(2):
+        t0 = time.time(); xd = jax.device_put(x_in); float(s(xd))
+        dt = time.time() - t0
+        log(f"h2d 18.9MB u8 (+sum readback): {dt * 1000:.0f} ms")
+
+
 def bench_programs(F: int = 16):
     """Per-stage breakdown of the production window at bench geometry:
     prepare / denoise / decode programs + stitch ops (color match, yuv)."""
@@ -1521,6 +1588,8 @@ if __name__ == "__main__":
         bench_vae_ablate()
     if "transfer" in which:
         bench_transfer()
+    if "linkprobe" in which:
+        bench_linkprobe()
     if "programs" in which:
         bench_programs()
     if "motion" in which:
