@@ -25,6 +25,64 @@ def lrelu(x):
     return nn.leaky_relu(x, negative_slope=0.2)
 
 
+# --------------------------------------------------------------------------
+# space-to-depth body: 512^2 x 64ch tensors are TPU-hostile (C=64/32 pads to
+# the 128-lane tile in HBM and on the MXU); running the body at
+# 256^2 x 256ch makes every channel dim lane-exact. A 3x3 stride-1 conv in
+# fine space is EXACTLY a 3x3 conv in s2d space with a phase-structured
+# kernel (4x nominal MACs, absorbed by the otherwise-idle MXU).
+# --------------------------------------------------------------------------
+
+def _s2d(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C); channel order (py, px, c)."""
+    B, H, W, C = x.shape
+    return x.reshape(B, H // 2, 2, W // 2, 2, C).transpose(
+        0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+
+
+def _d2s(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of _s2d."""
+    B, h, w, C4 = x.shape
+    C = C4 // 4
+    return x.reshape(B, h, w, 2, 2, C).transpose(
+        0, 1, 3, 2, 4, 5).reshape(B, 2 * h, 2 * w, C)
+
+
+def _s2d_selector() -> np.ndarray:
+    """Constant S[dy,dx,py,px,qy,qx,u,v]=1 iff fine tap (u-1,v-1) of output
+    phase (qy,qx) reads coarse neighbor (dy-1,dx-1) at input phase (py,px):
+    u-1 = 2(dy-1)+py-qy (and likewise for v). Zero-padding in coarse space
+    reproduces the fine conv's 1px zero pad exactly (the pad row's unused
+    phase has zero kernel weight)."""
+    S = np.zeros((3, 3, 2, 2, 2, 2, 3, 3), np.float32)
+    for dy in range(3):
+        for dx in range(3):
+            for py in range(2):
+                for px in range(2):
+                    for qy in range(2):
+                        for qx in range(2):
+                            u = 2 * (dy - 1) + py - qy
+                            v = 2 * (dx - 1) + px - qx
+                            if -1 <= u <= 1 and -1 <= v <= 1:
+                                S[dy, dx, py, px, qy, qx, u + 1, v + 1] = 1.0
+    return S
+
+
+_S2D_SEL = _s2d_selector()
+
+
+def _s2d_kernel(k: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,Ci,Co) fine conv kernel -> (3,3,4Ci,4Co) s2d-space kernel."""
+    ci, co = k.shape[2], k.shape[3]
+    kp = jnp.einsum("dDpPqQuv,uvio->dDpPiqQo", jnp.asarray(_S2D_SEL, k.dtype), k)
+    return kp.reshape(3, 3, 4 * ci, 4 * co)
+
+
+def _s2d_bias(b: jnp.ndarray) -> jnp.ndarray:
+    """(Co,) -> (4Co,) matching the (qy,qx,co) channel order."""
+    return jnp.tile(b, 4)
+
+
 class _ConvParams(nn.Module):
     """3x3 conv kernel/bias with the same param tree as nn.Conv (so the
     folded-upsample path can consume the raw kernel)."""
@@ -43,32 +101,93 @@ class _ConvParams(nn.Module):
 
 
 class ResidualDenseBlock(nn.Module):
+    """Dense block in kernel-split sum form.
+
+    The torch layout computes conv(concat([x, c1, ..]), K); concatenation
+    is TPU-hostile — a profiler trace of the (1,512,512,3) program showed
+    the concat materialization (copies + dynamic-update-slices + pads) and
+    the resulting UNFUSED leaky_relu passes cost ~75 of 122 ms/frame while
+    the convs themselves cost ~30 (perf/uptrace_r4.log). Splitting each
+    kernel along its input channels turns every conv(concat(...)) into a
+    sum of convs over the ORIGINAL tensors — identical MACs and (up to
+    float reassociation) identical output, no concat buffers, and each
+    activation fuses into a conv epilogue. `form="concat"` keeps the
+    literal torch dataflow for A/B and golden tests."""
+
     growth: int = 32
     dtype: jnp.dtype = jnp.float32
+    form: str = "sum"
 
     @nn.compact
     def __call__(self, x):
         feats = x.shape[-1]
-        c1 = lrelu(nn.Conv(self.growth, (3, 3), padding=1, name="conv1", dtype=self.dtype)(x))
-        c2 = lrelu(nn.Conv(self.growth, (3, 3), padding=1, name="conv2", dtype=self.dtype)(
-            jnp.concatenate([x, c1], -1)))
-        c3 = lrelu(nn.Conv(self.growth, (3, 3), padding=1, name="conv3", dtype=self.dtype)(
-            jnp.concatenate([x, c1, c2], -1)))
-        c4 = lrelu(nn.Conv(self.growth, (3, 3), padding=1, name="conv4", dtype=self.dtype)(
-            jnp.concatenate([x, c1, c2, c3], -1)))
-        c5 = nn.Conv(feats, (3, 3), padding=1, name="conv5", dtype=self.dtype)(
-            jnp.concatenate([x, c1, c2, c3, c4], -1))
+        g = self.growth
+        if self.form == "concat":
+            c1 = lrelu(nn.Conv(g, (3, 3), padding=1, name="conv1", dtype=self.dtype)(x))
+            c2 = lrelu(nn.Conv(g, (3, 3), padding=1, name="conv2", dtype=self.dtype)(
+                jnp.concatenate([x, c1], -1)))
+            c3 = lrelu(nn.Conv(g, (3, 3), padding=1, name="conv3", dtype=self.dtype)(
+                jnp.concatenate([x, c1, c2], -1)))
+            c4 = lrelu(nn.Conv(g, (3, 3), padding=1, name="conv4", dtype=self.dtype)(
+                jnp.concatenate([x, c1, c2, c3], -1)))
+            c5 = nn.Conv(feats, (3, 3), padding=1, name="conv5", dtype=self.dtype)(
+                jnp.concatenate([x, c1, c2, c3, c4], -1))
+            return x + 0.2 * c5
+
+        dt = self.dtype
+
+        def cv(t, k):
+            return jax.lax.conv_general_dilated(
+                t.astype(dt), k.astype(dt), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        if self.form == "s2d":
+            # input arrives space-to-depth'd: (B, H/2, W/2, 4*feats)
+            feats = feats // 4
+
+        # same param tree as the concat form (conv1..conv5: kernel/bias)
+        k1, b1 = _ConvParams(feats, g, name="conv1")()
+        k2, b2 = _ConvParams(feats + g, g, name="conv2")()
+        k3, b3 = _ConvParams(feats + 2 * g, g, name="conv3")()
+        k4, b4 = _ConvParams(feats + 3 * g, g, name="conv4")()
+        k5, b5 = _ConvParams(feats + 4 * g, feats, name="conv5")()
+
+        def split(k):
+            # input-channel slices: [x (feats), c1 (g), c2 (g), ...]
+            cuts = [feats + i * g for i in range(5)]
+            return [k[:, :, a:b] for a, b in zip([0] + cuts, cuts + [None])
+                    if a < k.shape[2]]
+
+        s2, s3, s4, s5 = split(k2), split(k3), split(k4), split(k5)
+        if self.form == "s2d":
+            # per-source kernel slices transform independently (the s2d map
+            # is linear and channel-blockwise); biases tile over out-phases
+            k1, s2, s3, s4, s5 = (
+                _s2d_kernel(k1),
+                [_s2d_kernel(k) for k in s2], [_s2d_kernel(k) for k in s3],
+                [_s2d_kernel(k) for k in s4], [_s2d_kernel(k) for k in s5],
+            )
+            b1, b2, b3, b4, b5 = (_s2d_bias(b) for b in (b1, b2, b3, b4, b5))
+        c1 = lrelu(cv(x, k1) + b1.astype(dt))
+        c2 = lrelu(cv(x, s2[0]) + cv(c1, s2[1]) + b2.astype(dt))
+        c3 = lrelu(cv(x, s3[0]) + cv(c1, s3[1]) + cv(c2, s3[2]) + b3.astype(dt))
+        c4 = lrelu(cv(x, s4[0]) + cv(c1, s4[1]) + cv(c2, s4[2])
+                   + cv(c3, s4[3]) + b4.astype(dt))
+        c5 = (cv(x, s5[0]) + cv(c1, s5[1]) + cv(c2, s5[2]) + cv(c3, s5[3])
+              + cv(c4, s5[4]) + b5.astype(dt))
         return x + 0.2 * c5
 
 
 class RRDB(nn.Module):
     dtype: jnp.dtype = jnp.float32
+    form: str = "sum"
 
     @nn.compact
     def __call__(self, x):
-        h = ResidualDenseBlock(name="rdb1", dtype=self.dtype)(x)
-        h = ResidualDenseBlock(name="rdb2", dtype=self.dtype)(h)
-        h = ResidualDenseBlock(name="rdb3", dtype=self.dtype)(h)
+        h = ResidualDenseBlock(name="rdb1", dtype=self.dtype, form=self.form)(x)
+        h = ResidualDenseBlock(name="rdb2", dtype=self.dtype, form=self.form)(h)
+        h = ResidualDenseBlock(name="rdb3", dtype=self.dtype, form=self.form)(h)
         return x + 0.2 * h
 
 
@@ -77,16 +196,32 @@ class RRDBNet(nn.Module):
     num_block: int = 6  # anime_6B variant
     scale: int = 4
     dtype: jnp.dtype = jnp.float32
+    form: str = "sum"  # RDB dataflow: "sum" (TPU) | "concat" (torch-literal)
 
     @nn.compact
     def __call__(self, x):
         """x: (B, H, W, 3) in [0,1] -> (B, H*scale, W*scale, 3)."""
         feat = nn.Conv(self.num_feat, (3, 3), padding=1, name="conv_first", dtype=self.dtype)(x)
-        body = feat
-        for i in range(self.num_block):
-            body = RRDB(name=f"body_{i}", dtype=self.dtype)(body)
-        body = nn.Conv(self.num_feat, (3, 3), padding=1, name="conv_body", dtype=self.dtype)(body)
-        feat = feat + body
+        if self.form == "s2d" and feat.shape[1] % 2 == 0 and feat.shape[2] % 2 == 0:
+            # whole body at (H/2, W/2, 4*feat): lane-exact channels
+            fs = _s2d(feat)
+            body = fs
+            for i in range(self.num_block):
+                body = RRDB(name=f"body_{i}", dtype=self.dtype, form="s2d")(body)
+            kb, bb = _ConvParams(self.num_feat, self.num_feat, name="conv_body")()
+            body = jax.lax.conv_general_dilated(
+                body.astype(self.dtype), _s2d_kernel(kb).astype(self.dtype),
+                (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + _s2d_bias(bb).astype(self.dtype)
+            feat = _d2s(fs + body)
+        else:
+            form = "sum" if self.form == "s2d" else self.form  # odd H/W guard
+            body = feat
+            for i in range(self.num_block):
+                body = RRDB(name=f"body_{i}", dtype=self.dtype, form=form)(body)
+            body = nn.Conv(self.num_feat, (3, 3), padding=1, name="conv_body", dtype=self.dtype)(body)
+            feat = feat + body
         # nearest-2x + conv3x3 folded into one parity-decomposed conv
         # (ops/upsample.py): exact, 4/9 the MACs on the two largest
         # activations of the network (the up convs run at 2x/4x input res)
@@ -158,7 +293,10 @@ class Upscaler:
         # flax policy the UNet follows). The reference runs its RealESRGANer
         # with half=True (modules/upscaler.py:50); the orchestrator passes
         # the run dtype so bf16 runs upscale in bf16 too.
-        self.model = RRDBNet(num_block=num_block, dtype=dtype)
+        import os
+
+        form = os.environ.get("CONTROLANIMATE_RRDB_FORM", "sum")
+        self.model = RRDBNet(num_block=num_block, dtype=dtype, form=form)
         self.params = jax.device_put(rrdbnet_params_from_torch(ingest.load_state_dict(path), num_block))
         self._jit = jax.jit(
             lambda p, x: self.model.apply({"params": p}, x)

@@ -1356,6 +1356,71 @@ def bench_upchunk():
                 log(f"  chunk={c}: FAILED {type(e).__name__}: {str(e)[:200]}")
 
 
+def bench_uptrace():
+    """Profiler trace of the device-u8 RRDB program at (1,512,512,3):
+    where do 147ms/frame go when the analytic roofline is 14-18ms
+    (perf/upchunk_r4.json)? Aggregates device-track events by op name —
+    device timestamps are immune to host contention. Informs whether the
+    fix is a fused Pallas RDB kernel (HBM/fusion breaks), a layout change
+    (N=32 lane padding), or nothing (XLA conv lowering floor)."""
+    import glob
+    import gzip
+    import json as _json
+
+    import numpy as np
+
+    from controlanimate_tpu.models.upscaler import Upscaler
+
+    import os
+
+    ckpt = _synth_rrdb_ckpt()
+    x = jnp.asarray(
+        (np.random.RandomState(1).rand(1, 512, 512, 3) * 255).astype(np.uint8))
+    ups = None
+    for form in ("concat", "sum", "s2d"):
+        os.environ["CONTROLANIMATE_RRDB_FORM"] = form
+        u = Upscaler(4.0, model_path=ckpt, num_block=6, dtype=jnp.bfloat16)
+        timeit(f"rrdb[{form}] u8 (1,512,512,3)", u.upscale_batch_device, x, iters=3)
+        ups = u  # trace the last (s2d) form below
+    os.environ.pop("CONTROLANIMATE_RRDB_FORM", None)
+
+    tdir = "/tmp/uptrace"
+    jax.profiler.start_trace(tdir)
+    for _ in range(3):
+        out = ups.upscale_batch_device(x)
+        float(out.astype(jnp.float32).sum())
+    jax.profiler.stop_trace()
+
+    paths = sorted(glob.glob(f"{tdir}/**/*.trace.json.gz", recursive=True))
+    if not paths:
+        log("no trace captured")
+        return
+    with gzip.open(paths[-1], "rt") as f:
+        trace = _json.load(f)
+    events = trace.get("traceEvents", [])
+    # device tracks: pick pids whose process name mentions TPU/device
+    dev_pids = set()
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            nm = str(e.get("args", {}).get("name", ""))
+            if "TPU" in nm or "/device:" in nm or "XLA" in nm.upper():
+                dev_pids.add(e.get("pid"))
+    agg: dict = {}
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        name = e.get("name", "?")
+        a = agg.setdefault(name, [0.0, 0])
+        a[0] += e.get("dur", 0) / 1e3  # us -> ms
+        a[1] += 1
+    total = sum(v[0] for v in agg.values())
+    log(f"device pids {sorted(dev_pids)}; {len(agg)} distinct ops, "
+        f"{total:.1f} ms total device time over 3 calls")
+    for name, (ms, n) in sorted(agg.items(), key=lambda kv: -kv[1][0])[:30]:
+        args_hint = ""
+        log(f"  {ms:8.2f} ms x{n:3d}  {name[:110]}{args_hint}")
+
+
 def bench_upscale4():
     """The shipped LCM profiles run upscale 4 through RealESRGAN (reference
     SampleConfigLCM*.yaml:96 'upscale: 4'; LCMLoRA ships use_face_enhancer 0
@@ -1572,6 +1637,8 @@ if __name__ == "__main__":
         bench_upscale4()
     if "upchunk" in which:
         bench_upchunk()
+    if "uptrace" in which:
+        bench_uptrace()
     if "banded" in which:
         bench_banded()
     if "attnxl" in which:

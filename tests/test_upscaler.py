@@ -144,3 +144,51 @@ def test_upscaler_scale_range(synthetic_ckpt):
         Upscaler(scale=8.0, model_path=synthetic_ckpt)
     with pytest.raises(ValueError):
         Upscaler(scale=1.0, model_path=synthetic_ckpt)
+
+
+def test_rdb_sum_form_matches_concat_form():
+    """The TPU dataflow (kernel-split sum, no concats — see the
+    ResidualDenseBlock docstring and perf/uptrace_r4.log) is the same
+    function as the torch-literal concat form up to float reassociation."""
+    tm = _TorchRRDBNet(num_feat=64, num_block=1).eval()
+    _randomize(tm, seed=3)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = rrdbnet_params_from_torch(sd, num_block=1)
+    x = np.random.RandomState(5).rand(1, 8, 8, 3).astype(np.float32)
+    a = RRDBNet(num_feat=64, num_block=1, form="sum").apply(
+        {"params": params}, jnp.asarray(x))
+    b = RRDBNet(num_feat=64, num_block=1, form="concat").apply(
+        {"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-5)
+    # both forms consume the identical param tree
+    ta = jax.tree_util.tree_structure(
+        RRDBNet(num_feat=64, num_block=1, form="sum").init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 3)))["params"])
+    tb = jax.tree_util.tree_structure(
+        RRDBNet(num_feat=64, num_block=1, form="concat").init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 3)))["params"])
+    assert ta == tb
+
+
+def test_rdb_s2d_form_matches_concat_form():
+    """form='s2d' runs the body at (H/2, W/2, 4C) with phase-structured
+    kernels (lane-exact channels on TPU); exact same function up to float
+    reassociation. Odd inputs fall back to the sum form."""
+    tm = _TorchRRDBNet(num_feat=64, num_block=2).eval()
+    _randomize(tm, seed=4)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = rrdbnet_params_from_torch(sd, num_block=2)
+    x = np.random.RandomState(6).rand(1, 8, 8, 3).astype(np.float32)
+    a = RRDBNet(num_feat=64, num_block=2, form="s2d").apply(
+        {"params": params}, jnp.asarray(x))
+    b = RRDBNet(num_feat=64, num_block=2, form="concat").apply(
+        {"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5, rtol=1e-5)
+    # odd spatial dims: the s2d body is skipped, result still correct
+    x_odd = np.random.RandomState(7).rand(1, 7, 7, 3).astype(np.float32)
+    a_odd = RRDBNet(num_feat=64, num_block=2, form="s2d").apply(
+        {"params": params}, jnp.asarray(x_odd))
+    b_odd = RRDBNet(num_feat=64, num_block=2, form="concat").apply(
+        {"params": params}, jnp.asarray(x_odd))
+    np.testing.assert_allclose(np.asarray(a_odd), np.asarray(b_odd),
+                               atol=3e-5, rtol=1e-5)
