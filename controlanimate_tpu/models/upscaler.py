@@ -295,7 +295,9 @@ class Upscaler:
         # the run dtype so bf16 runs upscale in bf16 too.
         import os
 
-        form = os.environ.get("CONTROLANIMATE_RRDB_FORM", "sum")
+        # s2d measured 105.0 ms/frame at (1,512,512,3) bf16 vs sum 143.7 /
+        # concat 148.7 in one session (perf/rdbform_r4.json)
+        form = os.environ.get("CONTROLANIMATE_RRDB_FORM", "s2d")
         self.model = RRDBNet(num_block=num_block, dtype=dtype, form=form)
         self.params = jax.device_put(rrdbnet_params_from_torch(ingest.load_state_dict(path), num_block))
         self._jit = jax.jit(
