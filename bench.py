@@ -588,6 +588,42 @@ def main(frames: int = 16, size: int = 512, steps: int = 4, iters: int = 16):
         flush=True,
     )
     tracker.mark("overlap8")
+    # RealESRGAN x4: every shipped LCM profile runs upscale 4 (reference
+    # SampleConfigLCM*.yaml `upscale: 4`). Standalone per-frame rate of the
+    # device-u8 RRDB program at run geometry — the e2e upscale-4 pass is
+    # d2h-link-bound through the remote tunnel (perf/linkprobe_r4.json), so
+    # the device rate is the production-relevant number. Guarded: a failure
+    # must not sink the bench.
+    try:
+        from controlanimate_tpu.models.upscaler import Upscaler
+        from scripts.tpu_perf import _synth_rrdb_ckpt
+
+        ups = Upscaler(4.0, model_path=_synth_rrdb_ckpt(), num_block=6,
+                       dtype=jnp.bfloat16)
+        sumf = jax.jit(lambda t: t.astype(jnp.float32).sum())
+        xu = jnp.asarray(
+            (np.random.RandomState(3).rand(1, size, size, 3) * 255
+             ).astype(np.uint8))
+        float(sumf(ups.upscale_batch_device(xu)))  # compile + warm
+        best = 1e9
+        for _ in range(3):
+            t1 = time.time()
+            float(sumf(ups.upscale_batch_device(xu)))
+            best = min(best, time.time() - t1)
+        print(
+            json.dumps(
+                {
+                    "metric": f"RealESRGAN x4 RRDB (anime_6B geometry) device ms/frame ({size}->{4 * size}px, bf16, space-to-depth body)",
+                    "value": round(best * 1000, 1),
+                    "unit": "ms/frame",
+                    "note": "synthetic weights at checkpoint geometry; dataflow A/B and traces in perf/rdbform_r4.json (s2d 105.0 vs torch-literal 148.7)",
+                }
+            ),
+            flush=True,
+        )
+    except Exception as e:  # pragma: no cover - chip-only path
+        log(f"upscaler measurement failed: {e!r}")
+    tracker.mark("upscaler")
     try:
         tracker.dump()
     except Exception as e:  # pragma: no cover
