@@ -32,6 +32,7 @@ resulting scripts/bench_cache/ directory.
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import shutil
 import sys
@@ -91,12 +92,23 @@ def main() -> int:
               file=sys.stderr)
         return 1
 
+    def _digest(path: Path) -> str:
+        h = hashlib.blake2b(digest_size=16)
+        with path.open("rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        return h.hexdigest()
+
     SEED_DIR.mkdir(exist_ok=True)
     added, kept = [], []
     for name in sorted(selected):
         dst = SEED_DIR / name
-        if dst.exists() and dst.stat().st_size == selected[name]["bytes"]:
-            kept.append(name)  # content-addressed: same name == same bytes
+        src = CACHE_DIR / name
+        # ADVICE r4: entry names are NOT reliably content-addressed (same
+        # name was observed with different bytes across sessions), so a
+        # name+size match can silently keep a stale entry. Compare content.
+        if dst.exists() and _digest(dst) == _digest(src):
+            kept.append(name)
             continue
         tmp = dst.with_suffix(".tmp")
         shutil.copyfile(CACHE_DIR / name, tmp)
