@@ -323,9 +323,11 @@ def bench_segments():
     from controlanimate_tpu.io.media import ArrayFrameSink, ArrayFrameSource
     from scripts.vid2vid import vid2vid
 
-    F, ov, k = 24, 8, 3
+    F, ov, k = 24, 8, 8
     novel = F - ov
-    per_seg = F + (k - 1) * novel  # 56 frames, 3 windows per segment
+    per_seg = F + (k - 1) * novel  # 136 frames, 8 windows per segment:
+    # enough mid-windows (5) for a steady-state number comparable to
+    # bench.py's 16-window overlap-8 line
     base = bench.RunConfig(
         width=512, height=512, frame_count=F, overlap_length=ov,
         use_lcm=True, steps=4, guidance_scale=7.5, strength=0.9,
