@@ -194,6 +194,9 @@ class RunConfig:
     upscale_first: bool = False
     upscaler_model_path: Optional[str] = None
     face_enhancer_model_path: Optional[str] = None
+    # RetinaFace landmark detector for the face enhancer (defaults to
+    # models/Upscalers/detection_Resnet50_Final.pth; Haar fallback if absent)
+    face_detector_model_path: Optional[str] = None
 
     # window geometry
     frame_count: int = 16

@@ -278,6 +278,8 @@ class Upscaler:
         upscale_first: bool = False,
         model_path: Optional[str] = None,
         face_enhancer_model_path: Optional[str] = None,
+        face_detector_model_path: Optional[str] = None,
+        face_enhancer_kwargs: Optional[dict] = None,
         num_block: int = 6,
         dtype: jnp.dtype = jnp.float32,
     ):
@@ -308,7 +310,11 @@ class Upscaler:
             try:
                 from .gfpgan import FaceEnhancer
 
-                self.face_enhancer = FaceEnhancer(face_enhancer_model_path)
+                self.face_enhancer = FaceEnhancer(
+                    face_enhancer_model_path,
+                    detector_path=face_detector_model_path,
+                    **(face_enhancer_kwargs or {}),
+                )
             except FileNotFoundError:
                 self.face_enhancer = None  # no GFPGAN weights: upscale only
 
@@ -383,22 +389,29 @@ class Upscaler:
         """Whole-window path: the RRDB upscale always runs as ONE jitted
         batch; the face enhancer (when present) runs per frame around it
         (the reference upscales frame-at-a-time either way,
-        modules/upscaler.py:63-74)."""
+        modules/upscaler.py:63-74).
+
+        Face-enhanced dataflow matches the reference's
+        GFPGANer(upscale=scale, bg_upsampler=RealESRGAN): RealESRGAN
+        upscales the BACKGROUND; aligned faces are restored from the
+        original-resolution frame and pasted into that background through
+        the scaled inverse affine — faces are never re-degraded by a second
+        pass through the upscaler."""
         frames = np.asarray(frames, np.uint8)
         if self.face_enhancer is None:
             return self.upscale_batch(frames)
         if self.upscale_first:
+            # documented-but-force-disabled reference option
+            # (upscaler.py:23): upscale, then restore faces in place at 1x
             up = self.upscale_batch(frames)
-            return np.stack([self.face_enhancer(f) for f in up])
-        enhanced = np.stack([self.face_enhancer(f) for f in frames])
-        return self.upscale_batch(enhanced)
+            return np.stack([self.face_enhancer.enhance(f) for f in up])
+        bg = self.upscale_batch(frames)
+        return np.stack([
+            self.face_enhancer.enhance(f, background=b, upscale=self.scale)
+            for f, b in zip(frames, bg)
+        ])
 
     def __call__(self, frame: np.ndarray) -> np.ndarray:
         """upscale_first ordering per config (reference documents the option
         but force-overwrites it to False, upscaler.py:23 — honored here)."""
-        if self.face_enhancer is None:
-            return self.upscale_batch(frame[None])[0]
-        if self.upscale_first:
-            out = self.upscale_batch(frame[None])[0]
-            return self.face_enhancer(out)
-        return self.upscale_batch(self.face_enhancer(frame)[None])[0]
+        return self.process_batch(frame[None])[0]

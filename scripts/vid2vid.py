@@ -286,6 +286,7 @@ def vid2vid(
                 upscale_first=cfg.upscale_first,
                 model_path=cfg.upscaler_model_path,
                 face_enhancer_model_path=cfg.face_enhancer_model_path,
+                face_detector_model_path=cfg.face_detector_model_path,
                 # run dtype (reference runs RealESRGANer half=True; bf16 is
                 # the TPU half-precision analog, fp32 honored when asked)
                 dtype=jnp.float32 if cfg.dtype == "float32" else jnp.bfloat16,
