@@ -320,3 +320,140 @@ def test_facade_pads_conjunction_cfg_pair():
         np.asarray(neg[:, 77:]), np.asarray(jnp.repeat(neg[:, 76:77], 77, axis=1)),
         atol=1e-6,
     )
+
+
+def test_ldm_controlnet_key_conversion():
+    """Single-file ControlNet (LDM layout) -> diffusers ControlNetModel keys
+    (reference: convert_from_ckpt.py:943,514-554). The LDM side is built by
+    an INDEPENDENT inverse rename of every key controlnet_mapping() expects
+    at SD1.5 geometry, so the converter's output must cover the mapping's
+    key set exactly and pass values through untouched."""
+    import re
+
+    from controlanimate_tpu.models.unet3d import UNet3DConfig
+    from controlanimate_tpu.weights.controlnet_weights import controlnet_mapping
+    from controlanimate_tpu.weights.ldm_conversion import convert_ldm_controlnet
+
+    inv_res = [("norm1.", "in_layers.0."), ("conv1.", "in_layers.2."),
+               ("time_emb_proj.", "emb_layers.1."), ("norm2.", "out_layers.0."),
+               ("conv2.", "out_layers.3."), ("conv_shortcut.", "skip_connection.")]
+
+    def to_ldm(dk: str) -> str:
+        if dk.startswith("time_embedding.linear_1."):
+            return "time_embed.0." + dk.rsplit(".", 1)[1]
+        if dk.startswith("time_embedding.linear_2."):
+            return "time_embed.2." + dk.rsplit(".", 1)[1]
+        if dk.startswith("conv_in."):
+            return "input_blocks.0.0." + dk[len("conv_in."):]
+        if dk.startswith("controlnet_cond_embedding.conv_in."):
+            return "input_hint_block.0." + dk.rsplit(".", 1)[1]
+        if dk.startswith("controlnet_cond_embedding.conv_out."):
+            return "input_hint_block.14." + dk.rsplit(".", 1)[1]
+        m = re.match(r"controlnet_cond_embedding\.blocks\.(\d+)\.(.*)", dk)
+        if m:
+            return f"input_hint_block.{2 * int(m.group(1)) + 2}.{m.group(2)}"
+        m = re.match(r"controlnet_down_blocks\.(\d+)\.(.*)", dk)
+        if m:
+            return f"zero_convs.{m.group(1)}.0.{m.group(2)}"
+        if dk.startswith("controlnet_mid_block."):
+            return "middle_block_out.0." + dk.rsplit(".", 1)[1]
+        m = re.match(r"down_blocks\.(\d+)\.resnets\.(\d+)\.(.*)", dk)
+        if m:
+            lvl, pos, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+            for new, old in inv_res:
+                if rest.startswith(new):
+                    rest = old + rest[len(new):]
+                    break
+            return f"input_blocks.{1 + 3 * lvl + pos}.0.{rest}"
+        m = re.match(r"down_blocks\.(\d+)\.attentions\.(\d+)\.(.*)", dk)
+        if m:
+            return f"input_blocks.{1 + 3 * int(m.group(1)) + int(m.group(2))}.1.{m.group(3)}"
+        m = re.match(r"down_blocks\.(\d+)\.downsamplers\.0\.conv\.(.*)", dk)
+        if m:
+            return f"input_blocks.{3 + 3 * int(m.group(1))}.0.op.{m.group(2)}"
+        m = re.match(r"mid_block\.resnets\.(\d+)\.(.*)", dk)
+        if m:
+            rest = m.group(2)
+            for new, old in inv_res:
+                if rest.startswith(new):
+                    rest = old + rest[len(new):]
+                    break
+            return f"middle_block.{2 * int(m.group(1))}.{rest}"
+        m = re.match(r"mid_block\.attentions\.0\.(.*)", dk)
+        if m:
+            return f"middle_block.1.{m.group(1)}"
+        raise AssertionError(f"no inverse for {dk}")
+
+    tkeys = [t for t, _, _ in controlnet_mapping(UNet3DConfig())]
+    rs = np.random.RandomState(0)
+    ldm_sd = {}
+    expect = {}
+    for t in tkeys:
+        v = rs.randn(2).astype(np.float32)
+        ldm_sd["control_model." + to_ldm(t)] = v
+        expect[t] = v
+    out = convert_ldm_controlnet(ldm_sd)
+    assert set(out) == set(expect), (
+        f"missing: {sorted(set(expect) - set(out))[:8]} "
+        f"extra: {sorted(set(out) - set(expect))[:8]}")
+    for t, v in expect.items():
+        assert out[t] is v  # pure rename, no value transform
+
+    # bare (unprefixed) checkpoints convert identically
+    bare = {k[len("control_model."):]: v for k, v in ldm_sd.items()}
+    assert set(convert_ldm_controlnet(bare)) == set(expect)
+
+
+def test_open_clip_key_conversion():
+    """SD2.x open-clip text tower -> HF CLIPTextModel keys (reference:
+    convert_from_ckpt.py:822): in_proj q/k/v split, resblock renames, final
+    layer (resblocks.23) dropped, text_projection/logit_scale dropped."""
+    from controlanimate_tpu.weights.ldm_conversion import (
+        convert_ldm_clip,
+        convert_open_clip,
+    )
+
+    rs = np.random.RandomState(1)
+    D = 8
+    sd = {
+        "cond_stage_model.model.positional_embedding": rs.randn(77, D).astype(np.float32),
+        "cond_stage_model.model.token_embedding.weight": rs.randn(49408, D).astype(np.float32),
+        "cond_stage_model.model.ln_final.weight": rs.randn(D).astype(np.float32),
+        "cond_stage_model.model.ln_final.bias": rs.randn(D).astype(np.float32),
+        "cond_stage_model.model.text_projection": rs.randn(D, D).astype(np.float32),
+        "cond_stage_model.model.logit_scale": np.asarray(1.0, np.float32),
+    }
+    for i in (0, 1, 23):  # layer 23 must be dropped
+        p = f"cond_stage_model.model.transformer.resblocks.{i}"
+        sd[f"{p}.ln_1.weight"] = rs.randn(D).astype(np.float32)
+        sd[f"{p}.ln_2.bias"] = rs.randn(D).astype(np.float32)
+        sd[f"{p}.attn.in_proj_weight"] = rs.randn(3 * D, D).astype(np.float32)
+        sd[f"{p}.attn.in_proj_bias"] = rs.randn(3 * D).astype(np.float32)
+        sd[f"{p}.attn.out_proj.weight"] = rs.randn(D, D).astype(np.float32)
+        sd[f"{p}.mlp.c_fc.weight"] = rs.randn(4 * D, D).astype(np.float32)
+        sd[f"{p}.mlp.c_proj.weight"] = rs.randn(D, 4 * D).astype(np.float32)
+
+    out = convert_open_clip(sd)
+    assert "text_model.embeddings.position_embedding.weight" in out
+    assert "text_model.embeddings.token_embedding.weight" in out
+    assert "text_model.final_layer_norm.weight" in out
+    assert "text_model.encoder.layers.0.layer_norm1.weight" in out
+    assert "text_model.encoder.layers.1.layer_norm2.bias" in out
+    assert "text_model.encoder.layers.0.self_attn.out_proj.weight" in out
+    assert "text_model.encoder.layers.0.mlp.fc1.weight" in out
+    assert "text_model.encoder.layers.0.mlp.fc2.weight" in out
+    # q/k/v split slices the fused in_proj at d_model = text_projection rows
+    ipw = sd["cond_stage_model.model.transformer.resblocks.0.attn.in_proj_weight"]
+    np.testing.assert_array_equal(
+        out["text_model.encoder.layers.0.self_attn.q_proj.weight"], ipw[:D])
+    np.testing.assert_array_equal(
+        out["text_model.encoder.layers.0.self_attn.k_proj.weight"], ipw[D:2 * D])
+    np.testing.assert_array_equal(
+        out["text_model.encoder.layers.0.self_attn.v_proj.weight"], ipw[2 * D:])
+    # dropped: final layer, projection head, logit scale
+    assert not any("layers.23" in k for k in out)
+    assert not any("text_projection" in k or "logit_scale" in k for k in out)
+
+    # convert_ldm_clip dispatches open-clip checkpoints automatically
+    via_dispatch = convert_ldm_clip(sd)
+    assert set(via_dispatch) == set(out)
