@@ -624,6 +624,30 @@ def main(frames: int = 16, size: int = 512, steps: int = 4, iters: int = 16):
     except Exception as e:  # pragma: no cover - chip-only path
         log(f"upscaler measurement failed: {e!r}")
     tracker.mark("upscaler")
+    # quality line (VERDICT r4 next #7): numerics in the same artifact the
+    # driver reads for perf. Runs in a CPU subprocess (torch oracle + tiny
+    # engine programs; the chip session pays nothing). Guarded.
+    try:
+        import subprocess
+
+        q = subprocess.run(
+            [sys.executable, str(Path(__file__).parent / "scripts" / "quality_smoke.py")],
+            capture_output=True, text=True, timeout=900, check=True,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "quality (engine-vs-torch-oracle golden SSIM + FVD pipeline smoke; CPU subprocess)",
+                    "value": json.loads(q.stdout)["engine_vs_torch_oracle"]["mean_frame_ssim"],
+                    "unit": "mean frame SSIM vs oracle (1.0 = exact)",
+                    **json.loads(q.stdout),
+                }
+            ),
+            flush=True,
+        )
+    except Exception as e:  # pragma: no cover
+        log(f"quality smoke failed: {e!r}")
+    tracker.mark("quality")
     try:
         tracker.dump()
     except Exception as e:  # pragma: no cover

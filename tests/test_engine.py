@@ -431,8 +431,11 @@ def _t_unet(tunet, lat, t, ctx, w_emb=None):
     return out.permute(0, 2, 3, 4, 1).numpy()
 
 
-def test_window_golden_euler_cfg_vs_torch():
-    """Euler/CFG vid2vid window with overlap noising, end to end."""
+def euler_window_golden_pair():
+    """Build the Euler/CFG golden pair (engine output, torch-oracle output)
+    at tiny geometry. Used by the default-gate golden test below AND by
+    scripts/quality_smoke.py, which turns the same pair into the bench
+    artifact's quality line (VERDICT r4 next #7)."""
     tvae, vae, vae_params = _oracle_models()
     tunet, unet_params = _oracle_unet(UCFG)
     models = EngineModels(
@@ -495,6 +498,12 @@ def test_window_golden_euler_cfg_vs_torch():
         lat = lat + (lat - x0) / sig * (sigmas[i + 1] - sig)
 
     out_t = _t_decode(tvae, lat.astype(np.float32))
+    return out_j, out_t
+
+
+def test_window_golden_euler_cfg_vs_torch():
+    """Euler/CFG vid2vid window with overlap noising, end to end."""
+    out_j, out_t = euler_window_golden_pair()
     err = np.abs(out_j - out_t).max()
     assert err < 2e-3, err
 
