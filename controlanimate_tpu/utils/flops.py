@@ -112,6 +112,83 @@ def _jaxpr_flops(jaxpr) -> int:
     return total
 
 
+def _ceil_to(x: int, m: int) -> int:
+    return ((int(x) + m - 1) // m) * m
+
+
+def _dot_general_flops_padded(eqn) -> int:
+    """MXU-effective FLOPs: contraction and output-channel dims round up to
+    the 128 lane tile, the row dim to the 8-sublane tile — the systolic
+    array runs the padded shape regardless of the useful fraction (this is
+    where the UNet's D=40 attention pays 128/40 and the RRDB's 64-channel
+    convs pay 2x)."""
+    lhs, rhs = (v.aval.shape for v in eqn.invars[:2])
+    (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
+    B = _prod(lhs[i] for i in lb)
+    K = _prod(lhs[i] for i in lc)
+    M = _prod(lhs[i] for i in range(len(lhs)) if i not in set(lc) | set(lb))
+    N = _prod(rhs[i] for i in range(len(rhs)) if i not in set(rc) | set(rb))
+    return 2 * B * _ceil_to(M, 8) * _ceil_to(N, 128) * _ceil_to(K, 128)
+
+
+def _conv_flops_padded(eqn) -> int:
+    out_shape = eqn.outvars[0].aval.shape
+    rhs_shape = eqn.invars[1].aval.shape
+    dn = eqn.params["dimension_numbers"]
+    rhs_spec = dn.rhs_spec
+    out_spec = dn.out_spec
+    in_ch = rhs_shape[rhs_spec[1]]
+    ksp = _prod(rhs_shape[i] for i in rhs_spec[2:])
+    lhs_dil = eqn.params.get("lhs_dilation") or ()
+    useful_ksp = ksp / (_prod(lhs_dil) or 1)
+    out_ch = out_shape[out_spec[1]]
+    spatial = _prod(out_shape) // max(out_ch, 1)
+    # implicit-matmul model: K = taps*Cin -> 128 tile, N = Cout -> 128 tile
+    return int(2 * _ceil_to(spatial, 8)
+               * _ceil_to(out_ch, 128)
+               * _ceil_to(int(useful_ksp * in_ch), 128))
+
+
+def _jaxpr_flops_padded(jaxpr) -> int:
+    total = 0
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name == "dot_general":
+            total += _dot_general_flops_padded(eqn)
+        elif name == "conv_general_dilated":
+            total += _conv_flops_padded(eqn)
+        elif name == "scan":
+            total += int(eqn.params["length"]) * _jaxpr_flops_padded(
+                eqn.params["jaxpr"].jaxpr)
+        elif name == "while":
+            total += _jaxpr_flops_padded(eqn.params["body_jaxpr"].jaxpr)
+        elif name == "cond":
+            total += max((_jaxpr_flops_padded(b.jaxpr)
+                          for b in eqn.params["branches"]), default=0)
+        elif name in _CALL_PRIMS:
+            inner = eqn.params.get(_CALL_PRIMS[name])
+            if inner is not None:
+                total += _jaxpr_flops_padded(getattr(inner, "jaxpr", inner))
+        else:
+            for key in ("jaxpr", "call_jaxpr"):
+                inner = eqn.params.get(key) if eqn.params else None
+                if inner is not None:
+                    total += _jaxpr_flops_padded(getattr(inner, "jaxpr", inner))
+                    break
+    return total
+
+
+def count_flops_padded(fn, *args, **kwargs) -> int:
+    """MXU-effective (tile-padded) matmul+conv FLOPs of one call — the
+    hardware floor the compiler cannot beat without changing the algorithm
+    (useful/padded ratio = the pad tax; see bench_denacct)."""
+    closed = jax.make_jaxpr(fn, **({"static_argnums": kwargs.pop("static_argnums")}
+                                   if "static_argnums" in kwargs else {}))(
+        *args, **kwargs
+    )
+    return _jaxpr_flops_padded(closed.jaxpr)
+
+
 def count_flops(fn, *args, **kwargs) -> int:
     """Matmul+conv FLOPs (2*MACs) of one call of ``fn`` at these arguments'
     shapes. Pure trace — no device execution, works on any backend."""

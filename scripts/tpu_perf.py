@@ -1435,6 +1435,236 @@ def bench_uptrace():
         log(f"  {ms:8.2f} ms x{n:3d}  {name[:110]}{args_hint}")
 
 
+def bench_upconv():
+    """RealESRGAN up-stage conv family (VERDICT r4 next #1): XLA forms vs
+    the Pallas im2col kernels (ops/upconv_kernel.py) at the exact shipped
+    geometries, loop-in-jit x8 (dispatch floors cancel), bf16. Then the
+    FULL device-u8 RRDB per-frame A/B via CONTROLANIMATE_UP_KERNEL."""
+    import os
+
+    import numpy as np
+
+    from controlanimate_tpu.models.upscaler import Upscaler
+    from controlanimate_tpu.ops.upconv_kernel import (
+        conv3x3_small, d2s, upsample2x_conv3x3_s2d)
+    from controlanimate_tpu.ops.upsample import upsample2x_conv3x3
+
+    REPS = 8
+    key = jax.random.PRNGKey(0)
+
+    def loop(fn, x, n=REPS):
+        # chain through a 1px roll so XLA cannot elide iterations; shapes
+        # must be preserved by fn for chaining -> wrap with a resize-back
+        def body(c, _):
+            y = fn(c)
+            return jnp.roll(y, 1, axis=1), ()
+        out, _ = jax.lax.scan(body, x, None, length=n)
+        return out
+
+    C = 64
+    for H in (512, 1024):
+        ks = jax.random.split(jax.random.fold_in(key, H), 3)
+        x = jax.random.normal(ks[0], (1, H, H, C), jnp.bfloat16)
+        k = jax.random.normal(ks[1], (3, 3, C, C), jnp.bfloat16) * 0.05
+        b = jnp.zeros((C,), jnp.float32)
+        log(f"--- upconv upsample2x geometry (1,{H},{H},{C}) x{REPS}")
+        # shape-preserving wrappers: upsample then 2x2-avg back down
+        def shrink(y):
+            B, H2, W2, c = y.shape
+            return y.reshape(B, H2 // 2, 2, W2 // 2, 2, c).mean((2, 4)).astype(y.dtype)
+        f_xla = jax.jit(lambda x: loop(
+            lambda c: shrink(jax.nn.leaky_relu(
+                upsample2x_conv3x3(c, k, b, dtype=jnp.bfloat16), 0.2)), x))
+        t_x = timeit(f"  xla transposed-upsample {H}", f_xla, x)
+        f_pl = jax.jit(lambda x: loop(
+            lambda c: shrink(d2s(upsample2x_conv3x3_s2d(c, k, b, act="lrelu"))), x))
+        t_p = timeit(f"  pallas s2d-upsample     {H}", f_pl, x)
+        log(f"  => upsample {H}: xla {t_x*1000/REPS:.2f} vs pallas "
+            f"{t_p*1000/REPS:.2f} ms/call ({t_x/t_p:.2f}x)")
+
+    for H in (1024, 2048):
+        ks = jax.random.split(jax.random.fold_in(key, 10 * H), 3)
+        x = jax.random.normal(ks[0], (1, H, H, C), jnp.bfloat16)
+        k = jax.random.normal(ks[1], (3, 3, C, C), jnp.bfloat16) * 0.05
+        b = jnp.zeros((C,), jnp.float32)
+        log(f"--- upconv plain conv3x3 geometry (1,{H},{H},{C}) x{REPS}")
+        f_xla = jax.jit(lambda x: loop(lambda c: jax.nn.leaky_relu(
+            jax.lax.conv_general_dilated(
+                c, k, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + b.astype(c.dtype),
+            0.2), x))
+        t_x = timeit(f"  xla conv3x3    {H}", f_xla, x)
+        f_pl = jax.jit(lambda x: loop(
+            lambda c: conv3x3_small(c, k, b, act="lrelu"), x))
+        t_p = timeit(f"  pallas conv3x3 {H}", f_pl, x)
+        gmac = H * H * C * C * 9 / 1e9
+        log(f"  => conv3x3 {H}: xla {t_x*1000/REPS:.2f} vs pallas "
+            f"{t_p*1000/REPS:.2f} ms/call ({t_x/t_p:.2f}x); roofline "
+            f"{gmac * 2 / 197:.2f} ms bf16")
+
+    # full RRDB per-frame A/B (device-u8 path, s2d body both arms)
+    ckpt = _synth_rrdb_ckpt()
+    x = jnp.asarray(
+        (np.random.RandomState(1).rand(1, 512, 512, 3) * 255).astype(np.uint8))
+    for flag in ("0", "1", "0", "1"):  # interleaved: session drift visible
+        os.environ["CONTROLANIMATE_UP_KERNEL"] = flag
+        u = Upscaler(4.0, model_path=ckpt, num_block=6, dtype=jnp.bfloat16)
+        timeit(f"rrdb full frame 512->2048 [up_kernel={flag}]",
+               u.upscale_batch_device, x, iters=4)
+    os.environ.pop("CONTROLANIMATE_UP_KERNEL", None)
+
+
+def bench_denacct():
+    """Denoise MFU accounting (VERDICT r4 next #5): turn 'denoise is near
+    the floor' into arithmetic. Traces the F=24 LCM 4-step denoise program,
+    joins every device fusion's time with its HLO metadata (op_name scopes
+    name the flax modules), classifies into roofline components, and prints
+    a table whose components sum to the measured total, next to analytic
+    floors (MXU-useful FLOPs, the D=40->128 attention pad, softmax VPU,
+    norm/elementwise HBM traffic)."""
+    import collections
+    import glob
+    import gzip
+    import json as _json
+    import re
+
+    import numpy as np
+
+    import bench
+    from controlanimate_tpu.pipelines.engine import WindowStatic
+
+    F, size, steps = 24, 512, 4
+    cfg = bench.RunConfig(
+        width=size, height=size, frame_count=F, overlap_length=8,
+        use_lcm=True, steps=steps, guidance_scale=7.5, strength=0.9,
+        overlap_strength=0.9, lcm_origin_steps=50, prompt="a cat",
+        n_prompt="", seed=7, dtype="bfloat16",
+    )
+    pipeline = bench.build_pipeline(cfg)
+    eng = pipeline.engine
+    st = WindowStatic(
+        scheduler_name="LCMScheduler", steps=steps, guidance_scale=7.5,
+        strength=0.9, frame_count=F, height=size, width=size,
+        lcm_origin_steps=50,
+    )
+    sched = eng.build_scheduler(st)
+    denoise = eng._make_denoise_fn(st, sched)
+    key = jax.random.PRNGKey(0)
+    text = jax.random.normal(key, (1, 77, 768), jnp.bfloat16)
+    lat = jax.random.normal(key, (1, F, size // 8, size // 8, 4), jnp.float32)
+    args = (eng.m.unet_params, (), text, (), lat, key)
+
+    jd = jax.jit(denoise)
+    t_meas = timeit("denoise F=24 LCM4", jd, *args, iters=3)
+
+    # --- fusion -> metadata map from the compiled HLO text ---------------
+    hlo = jd.lower(*args).compile().as_text()
+    # computation bodies: "%fused_computation.N { ... }" called by
+    # "%fusion.N = fusion(...), calls=%fused_computation.N"; collect the
+    # metadata op_names + opcodes inside each computation
+    comp_ops: dict = collections.defaultdict(list)
+    cur = None
+    for line in hlo.splitlines():
+        m = re.match(r"\s*%?([\w.\-]+)\s*(?:\([^)]*\))?\s*->?.*\{\s*$", line) \
+            if "{" in line else None
+        mdef = re.match(r"\s*(?:ENTRY\s+)?%?([\w.\-]+)\s*\(", line) if "{" in line else None
+        if mdef and line.rstrip().endswith("{"):
+            cur = mdef.group(1)
+            continue
+        if line.strip() == "}":
+            cur = None
+            continue
+        if cur is None:
+            continue
+        om = re.search(r"op_name=\"([^\"]+)\"", line)
+        opm = re.match(r"\s*(?:ROOT\s+)?%?[\w.\-]+\s*=\s*[^ ]+\s+(\w+)", line)
+        opcode = opm.group(1) if opm else ""
+        if om or opcode:
+            comp_ops[cur].append((opcode, om.group(1) if om else ""))
+    fusion_calls = dict(re.findall(
+        r"%?([\w.\-]+)\s*=\s*[^=]*fusion\([^)]*\).*?calls=%?([\w.\-]+)", hlo))
+
+    def classify(name: str) -> str:
+        ops = comp_ops.get(fusion_calls.get(name, name), [])
+        names = " ".join(o[1] for o in ops)
+        codes = {o[0] for o in ops}
+        has_dot = "dot" in codes or "convolution" in codes
+        if "convolution" in codes and "motion" not in names:
+            return "conv (resnets/proj/conv_in-out)"
+        if "motion_modules" in names:
+            return "motion module (VPU attn + FFN/proj)"
+        if re.search(r"attn1|attn2|attention|to_q|to_k|to_v|to_out", names):
+            if "exponential" in codes or "divide" in codes:
+                return "spatial/cross attn softmax (VPU)"
+            if has_dot:
+                return "spatial/cross attn matmuls (MXU, D=40 pad)"
+            return "spatial/cross attn other"
+        if re.search(r"ff|geglu|net_0|net_2|proj", names) and has_dot:
+            return "FFN/GEGLU + projections (MXU)"
+        if has_dot:
+            return "other matmul"
+        if re.search(r"norm|group_norm|layer_norm", names):
+            return "norms + elementwise (HBM-bound)"
+        if re.search(r"scheduler|step|add_noise|scale_model", names):
+            return "scheduler math"
+        return "elementwise/other"
+
+    # --- traced device times ---------------------------------------------
+    tdir = "/tmp/denacct_trace"
+    jax.profiler.start_trace(tdir)
+    out = jd(*args)
+    float(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32).sum())
+    jax.profiler.stop_trace()
+    paths = sorted(glob.glob(f"{tdir}/**/*.trace.json.gz", recursive=True))
+    if not paths:
+        log("no trace captured")
+        return
+    with gzip.open(paths[-1], "rt") as f:
+        trace = _json.load(f)
+    events = trace.get("traceEvents", [])
+    dev_pids = set()
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            nm = str(e.get("args", {}).get("name", ""))
+            if "TPU" in nm or "/device:" in nm or "XLA" in nm.upper():
+                dev_pids.add(e.get("pid"))
+    per_fusion: dict = collections.defaultdict(float)
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        per_fusion[e.get("name", "?")] += e.get("dur", 0) / 1e3
+    total_dev = sum(per_fusion.values())
+
+    per_comp: dict = collections.defaultdict(float)
+    comp_examples: dict = collections.defaultdict(list)
+    for name, ms in per_fusion.items():
+        c = classify(name)
+        per_comp[c] += ms
+        comp_examples[c].append((ms, name))
+    log(f"measured wall best {t_meas*1000:.1f} ms; device-track total "
+        f"{total_dev:.1f} ms over 1 traced call")
+    for c, ms in sorted(per_comp.items(), key=lambda kv: -kv[1]):
+        ex = sorted(comp_examples[c], reverse=True)[:3]
+        log(f"  {ms:8.1f} ms ({100*ms/max(total_dev,1e-9):5.1f}%)  {c}")
+        for ems, en in ex:
+            log(f"      {ems:7.2f} ms  {en[:90]}")
+
+    # --- analytic floors (exact jaxpr walks, utils/flops.py) ---------------
+    from controlanimate_tpu.utils.flops import (
+        PEAK_BF16_TFLOPS, count_flops, count_flops_padded)
+
+    peak = PEAK_BF16_TFLOPS * 1e12
+    f_useful = count_flops(denoise, *args)
+    f_padded = count_flops_padded(denoise, *args)
+    log(f"floors: MXU-useful {f_useful/1e12:.2f} TFLOP -> "
+        f"{f_useful/peak*1e3:.1f} ms | MXU tile-padded "
+        f"{f_padded/1e12:.2f} TFLOP -> {f_padded/peak*1e3:.1f} ms "
+        f"(pad tax {f_padded/f_useful:.2f}x; D=40 attention + C<128 convs)")
+    log(f"accounting: measured {t_meas*1000:.1f} ms = padded-MXU floor "
+        f"{f_padded/peak*1e3:.1f} ms + VPU/HBM components from the table "
+        f"above (softmax, norms, elementwise) + scheduling gaps")
+
+
 def bench_upscale4():
     """The shipped LCM profiles run upscale 4 through RealESRGAN (reference
     SampleConfigLCM*.yaml:96 'upscale: 4'; LCMLoRA ships use_face_enhancer 0
@@ -1653,6 +1883,10 @@ if __name__ == "__main__":
         bench_upchunk()
     if "uptrace" in which:
         bench_uptrace()
+    if "upconv" in which:
+        bench_upconv()
+    if "denacct" in which:
+        bench_denacct()
     if "banded" in which:
         bench_banded()
     if "attnxl" in which:

@@ -162,3 +162,38 @@ def test_unet_window_flops_scale_with_frames():
 
     f8, f16 = make(8), make(16)
     assert f16 > 2 * f8  # superlinear: the F^2 temporal-attention term
+
+
+def test_padded_matmul():
+    from controlanimate_tpu.utils.flops import count_flops_padded
+
+    # (8, 40) @ (40, 64): K 40->128, N 64->128, M 8 already tile-aligned
+    a = jnp.zeros((8, 40), jnp.float32)
+    b = jnp.zeros((40, 64), jnp.float32)
+    f = lambda x, y: x @ y
+    assert count_flops_padded(f, a, b) == 2 * 8 * 128 * 128
+    assert count_flops_padded(f, a, b) >= count_flops(f, a, b)
+
+
+def test_padded_attention_ratio():
+    """D=40 attention pays 128/40 = 3.2x on the contraction of QK^T."""
+    from controlanimate_tpu.utils.flops import count_flops_padded
+
+    q = jnp.zeros((2, 8, 4096, 40), jnp.bfloat16)
+    k = jnp.zeros((2, 8, 4096, 40), jnp.bfloat16)
+    f = lambda q, k: jnp.einsum("bhqd,bhkd->bhqk", q, k)
+    useful = count_flops(f, q, k)
+    padded = count_flops_padded(f, q, k)
+    assert padded == useful * 128 // 40
+
+
+def test_padded_conv_small_channels():
+    """64-channel 3x3 conv: K = 9*64 = 576 -> 640, N = 64 -> 128."""
+    from controlanimate_tpu.utils.flops import count_flops_padded
+
+    x = jnp.zeros((1, 16, 16, 64), jnp.float32)
+    w = jnp.zeros((3, 3, 64, 64), jnp.float32)
+    f = lambda x, w: jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    assert count_flops_padded(f, x, w) == 2 * 16 * 16 * 128 * 640
