@@ -601,8 +601,13 @@ def main(frames: int = 16, size: int = 512, steps: int = 4, iters: int = 16):
         ups = Upscaler(4.0, model_path=_synth_rrdb_ckpt(), num_block=6,
                        dtype=jnp.bfloat16)
         sumf = jax.jit(lambda t: t.astype(jnp.float32).sum())
+        # product shape: the orchestrator hands the upscaler a window's
+        # novel frames at once; the two-program split (s2d body + pallas
+        # im2col tail, perf/upconv_r5.json) amortizes its launch floors
+        # over the batch
+        nb = 8
         xu = jnp.asarray(
-            (np.random.RandomState(3).rand(1, size, size, 3) * 255
+            (np.random.RandomState(3).rand(nb, size, size, 3) * 255
              ).astype(np.uint8))
         float(sumf(ups.upscale_batch_device(xu)))  # compile + warm
         best = 1e9
@@ -613,10 +618,10 @@ def main(frames: int = 16, size: int = 512, steps: int = 4, iters: int = 16):
         print(
             json.dumps(
                 {
-                    "metric": f"RealESRGAN x4 RRDB (anime_6B geometry) device ms/frame ({size}->{4 * size}px, bf16, space-to-depth body)",
-                    "value": round(best * 1000, 1),
+                    "metric": f"RealESRGAN x4 RRDB (anime_6B geometry) device ms/frame ({size}->{4 * size}px, bf16, s2d body + pallas up-stage, batch {nb})",
+                    "value": round(best * 1000 / nb, 1),
                     "unit": "ms/frame",
-                    "note": "synthetic weights at checkpoint geometry; dataflow A/B and traces in perf/rdbform_r4.json (s2d 105.0 vs torch-literal 148.7)",
+                    "note": "synthetic weights at checkpoint geometry; the pallas im2col up-stage runs in its own program (same-program mixing poisons body layouts) — A/B + traces in perf/upconv_r5.json (77.3 split vs 83.1 XLA vs 106.6 r4)",
                 }
             ),
             flush=True,

@@ -199,8 +199,23 @@ class RRDBNet(nn.Module):
     form: str = "sum"  # RDB dataflow: "sum" (TPU) | "concat" (torch-literal)
 
     @nn.compact
-    def __call__(self, x):
-        """x: (B, H, W, 3) in [0,1] -> (B, H*scale, W*scale, 3)."""
+    def __call__(self, x, mode: str = "full"):
+        """x: (B, H, W, 3) in [0,1] -> (B, H*scale, W*scale, 3).
+
+        mode: "full" — the whole net as ONE XLA program (golden/CPU path);
+        "body" — conv_first + RRDB trunk + residual, returns the (B,H,W,nf)
+        feature map; "tail" — x IS that feature map, runs the up-stage with
+        the Pallas im2col kernels (ops/upconv_kernel.py). body/tail exist so
+        the Upscaler can put the Pallas tail in its OWN jitted program: XLA
+        lowers the 64-channel >=1024^2 conv family ~10x off roofline
+        (perf/upchunk_r4.json) and the Pallas forms win every standalone
+        shootout, but mixing the custom-calls into the same program as the
+        RRDB body poisoned layout assignment for the UNCHANGED body fusions
+        (0.82 -> 4.44 ms each, perf/upconv_r5.json) — a program boundary is
+        the clean fix."""
+        assert mode in ("full", "body", "tail"), mode
+        if mode == "tail":
+            return self._tail(x)
         feat = nn.Conv(self.num_feat, (3, 3), padding=1, name="conv_first", dtype=self.dtype)(x)
         if self.form == "s2d" and feat.shape[1] % 2 == 0 and feat.shape[2] % 2 == 0:
             # whole body at (H/2, W/2, 4*feat): lane-exact channels
@@ -222,12 +237,15 @@ class RRDBNet(nn.Module):
                 body = RRDB(name=f"body_{i}", dtype=self.dtype, form=form)(body)
             body = nn.Conv(self.num_feat, (3, 3), padding=1, name="conv_body", dtype=self.dtype)(body)
             feat = feat + body
+        if mode == "body":
+            return feat
         # nearest-2x + conv3x3 folded into one parity-decomposed conv
         # (ops/upsample.py): exact, 4/9 the MACs on the two largest
         # activations of the network (the up convs run at 2x/4x input res)
         k1, b1 = _ConvParams(self.num_feat, self.num_feat, name="conv_up1")()
-        feat = lrelu(upsample2x_conv3x3(feat, k1, b1, dtype=self.dtype))
         k2, b2 = _ConvParams(self.num_feat, self.num_feat, name="conv_up2")()
+        kh, bh = _ConvParams(self.num_feat, self.num_feat, name="conv_hr")()
+        feat = lrelu(upsample2x_conv3x3(feat, k1, b1, dtype=self.dtype))
         if self.scale == 4:
             feat = lrelu(upsample2x_conv3x3(feat, k2, b2, dtype=self.dtype))
         else:
@@ -235,7 +253,36 @@ class RRDBNet(nn.Module):
                 feat.astype(self.dtype), k2.astype(self.dtype), (1, 1),
                 ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
             ) + b2.astype(self.dtype))
-        feat = lrelu(nn.Conv(self.num_feat, (3, 3), padding=1, name="conv_hr", dtype=self.dtype)(feat))
+        feat = lrelu(jax.lax.conv_general_dilated(
+            feat.astype(self.dtype), kh.astype(self.dtype), (1, 1),
+            ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bh.astype(self.dtype))
+        return nn.Conv(3, (3, 3), padding=1, name="conv_last", dtype=self.dtype)(feat)
+
+    def _tail(self, feat):
+        """Pallas up-stage: (B, H, W, nf) body features -> (B, 4H, 4W, 3).
+        Exact vs the XLA tail up to f32-accumulation reassociation (same
+        parity fold); interpret mode on CPU so tests drive the real
+        composition. Requires scale == 4 (the only shipped RRDB variant,
+        reference modules/upscaler.py:25)."""
+        assert self.scale == 4, "pallas tail is the x4 up-stage"
+        from ..ops.upconv_kernel import conv3x3_small, upsample2x_conv3x3_fine
+
+        import os as _os
+
+        interp = jax.default_backend() == "cpu"
+        via = _os.environ.get("CONTROLANIMATE_UPK_EMIT", "rows")
+        dt = self.dtype
+        k1, b1 = _ConvParams(self.num_feat, self.num_feat, name="conv_up1")()
+        k2, b2 = _ConvParams(self.num_feat, self.num_feat, name="conv_up2")()
+        kh, bh = _ConvParams(self.num_feat, self.num_feat, name="conv_hr")()
+        feat = upsample2x_conv3x3_fine(
+            feat.astype(dt), k1.astype(dt), b1, act="lrelu", interpret=interp,
+            via=via)
+        feat = upsample2x_conv3x3_fine(
+            feat, k2.astype(dt), b2, act="lrelu", interpret=interp, via=via)
+        feat = conv3x3_small(feat, kh.astype(dt), bh, act="lrelu",
+                             interpret=interp)
         return nn.Conv(3, (3, 3), padding=1, name="conv_last", dtype=self.dtype)(feat)
 
 
@@ -305,6 +352,12 @@ class Upscaler:
         self._jit = jax.jit(
             lambda p, x: self.model.apply({"params": p}, x)
         )
+        # Pallas up-stage (ops/upconv_kernel.py) as a SEPARATE jitted
+        # program from the body — same-program mixing poisoned the body's
+        # layouts (perf/upconv_r5.json). "1" (default): split on TPU;
+        # "0": single XLA program; "force": split even on CPU (interpret
+        # kernels — tests only).
+        self._up_kernel_env = os.environ.get("CONTROLANIMATE_UP_KERNEL", "1")
         self.face_enhancer = None
         if use_face_enhancer:
             try:
@@ -341,15 +394,76 @@ class Upscaler:
         cap = max(1, int(8e9 // per_frame))
         return max((d for d in range(1, n + 1) if n % d == 0 and d <= cap), default=1)
 
+    def _split_ok(self, h: int, w: int) -> bool:
+        """Use the two-program Pallas tail? (x4 net only; even H/W keeps the
+        kernels' row/col tiling on power-of-two blocks)."""
+        return (self.model.scale == 4 and h % 2 == 0 and w % 2 == 0
+                and (self._up_kernel_env == "force"
+                     or (self._up_kernel_env == "1"
+                         and jax.default_backend() != "cpu")))
+
+    def _ensure_split_jits(self):
+        if hasattr(self, "_jit_body"):
+            return
+        self._jit_body = jax.jit(
+            lambda p, x: self.model.apply({"params": p}, x, mode="body"))
+        self._jit_tail = jax.jit(
+            lambda p, f: self.model.apply({"params": p}, f, mode="tail"))
+        self._jit_body_u8 = jax.jit(
+            lambda p, x: self.model.apply(
+                {"params": p}, x.astype(jnp.float32) / 255.0, mode="body"))
+        self._jit_tail_u8 = jax.jit(
+            lambda p, f: jnp.clip(
+                self.model.apply({"params": p}, f, mode="tail")
+                * 255.0 + 0.5, 0.0, 255.0,
+            ).astype(jnp.uint8))
+
+    def _split_chunks(self, n: int, h: int, w: int) -> tuple[int, int]:
+        """(body chunk, tail chunk) for the two-program path — the largest
+        divisors of n under each cap, so every chunk shares one compiled
+        shape. Body activations are s2d 256-ch at H/2 (small); the tail's
+        two live 4x-res 64-ch activations (+ layout pad) set its HBM cap."""
+        import os
+
+        def cap_divisor(cap):
+            cap = max(1, int(cap))
+            return max((d for d in range(1, n + 1) if n % d == 0 and d <= cap),
+                       default=1)
+
+        out_px = (4 * h) * (4 * w)
+        per_frame = (out_px * 64 * jnp.dtype(self.model.dtype).itemsize * 2.2
+                     + out_px * 16)
+        tail_cap = (int(os.environ.get("CONTROLANIMATE_UPK_TAIL_CHUNK", "0"))
+                    or max(1, int(6e9 // per_frame)))
+        body_cap = (int(os.environ.get("CONTROLANIMATE_UPK_BODY_CHUNK", "0"))
+                    or 16)
+        return cap_divisor(body_cap), cap_divisor(tail_cap)
+
     def upscale_batch(self, frames: np.ndarray) -> np.ndarray:
         """(F, H, W, 3) uint8 -> (F, H*s, W*s, 3) uint8."""
         F, H, W = frames.shape[:3]
-        c = self._hbm_chunk(F, H, W)
         x = jnp.asarray(frames, jnp.float32) / 255.0
+        if self._split_ok(H, W):
+            self._ensure_split_jits()
+            cb, ct = self._split_chunks(F, H, W)
+            feats = [self._jit_body(self.params, x[i:i + cb])
+                     for i in range(0, F, cb)]
+            feat = feats[0] if len(feats) == 1 else jnp.concatenate(feats)
+            y = np.concatenate([
+                np.asarray(self._jit_tail(self.params, feat[i:i + ct]))
+                for i in range(0, F, ct)
+            ]).clip(0, 1)
+            out = (y * 255.0 + 0.5).astype(np.uint8)
+            return self._post_resize(frames, out)
+        run = lambda xc: self._jit(self.params, xc)
+        c = self._hbm_chunk(F, H, W)
         y = np.concatenate([
-            np.asarray(self._jit(self.params, x[i:i + c])) for i in range(0, F, c)
+            np.asarray(run(x[i:i + c])) for i in range(0, F, c)
         ]).clip(0, 1)
         out = (y * 255.0 + 0.5).astype(np.uint8)
+        return self._post_resize(frames, out)
+
+    def _post_resize(self, frames: np.ndarray, out: np.ndarray) -> np.ndarray:
         if abs(self.scale - 4.0) > 1e-6:
             import cv2
 
@@ -376,13 +490,28 @@ class Upscaler:
                 ).astype(jnp.uint8)
             )
         F, H, W = (int(s) for s in frames_dev.shape[:3])
+        if self._split_ok(H, W):
+            # two programs/frame-chunk: batch each to amortize the tunnel's
+            # ~25ms per-program launch floor (NOT pipelined away across
+            # dependent programs, perf/upconv_r5.json streamed arm); the
+            # body's activations are small (s2d 256-ch at H/2) so it takes
+            # big batches, the tail's 4x-res 64-ch activations cap its chunk
+            self._ensure_split_jits()
+            cb, ct = self._split_chunks(F, H, W)
+            feats = [self._jit_body_u8(self.params, frames_dev[i:i + cb])
+                     for i in range(0, F, cb)]
+            feat = feats[0] if len(feats) == 1 else jnp.concatenate(feats)
+            outs = [self._jit_tail_u8(self.params, feat[i:i + ct])
+                    for i in range(0, F, ct)]
+            return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+        run = lambda xc: self._jit_u8(self.params, xc)
         c = self._hbm_chunk(F, H, W)
         if c >= F:
-            return self._jit_u8(self.params, frames_dev)
+            return run(frames_dev)
         # chunks dispatch back-to-back (device serializes them; each chunk's
         # HBM peak is bounded) and concatenate device-side
         return jnp.concatenate([
-            self._jit_u8(self.params, frames_dev[i:i + c]) for i in range(0, F, c)
+            run(frames_dev[i:i + c]) for i in range(0, F, c)
         ])
 
     def process_batch(self, frames: np.ndarray) -> np.ndarray:

@@ -1514,6 +1514,93 @@ def bench_upconv():
     os.environ.pop("CONTROLANIMATE_UP_KERNEL", None)
 
 
+def _device_op_table(fn, n=3, top=30):
+    """Trace `fn()` n times, aggregate device-track events by op name."""
+    import glob
+    import gzip
+    import json as _json
+    import tempfile
+
+    tdir = tempfile.mkdtemp(prefix="optrace_")
+    jax.profiler.start_trace(tdir)
+    for _ in range(n):
+        out = fn()
+        float(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32).sum())
+    jax.profiler.stop_trace()
+    paths = sorted(glob.glob(f"{tdir}/**/*.trace.json.gz", recursive=True))
+    if not paths:
+        log("no trace captured")
+        return {}
+    with gzip.open(paths[-1], "rt") as f:
+        trace = _json.load(f)
+    events = trace.get("traceEvents", [])
+    dev_pids = set()
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            nm = str(e.get("args", {}).get("name", ""))
+            if "TPU" in nm or "/device:" in nm or "XLA" in nm.upper():
+                dev_pids.add(e.get("pid"))
+    agg: dict = {}
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        a = agg.setdefault(e.get("name", "?"), [0.0, 0])
+        a[0] += e.get("dur", 0) / 1e3
+        a[1] += 1
+    total = sum(v[0] for v in agg.values())
+    log(f"{len(agg)} distinct device ops, {total:.1f} ms over {n} calls")
+    for name, (ms, cnt) in sorted(agg.items(), key=lambda kv: -kv[1][0])[:top]:
+        log(f"  {ms:8.2f} ms x{cnt:3d}  {name[:110]}")
+    return agg
+
+
+def bench_upktrace():
+    """Why is the pallas up-stage 3.2x SLOWER in-context when every kernel
+    wins standalone (perf/upconv_r5)? Trace the full device-u8 RRDB with
+    CONTROLANIMATE_UP_KERNEL=1 and show where the ~234 ms/frame goes."""
+    import os
+
+    import numpy as np
+
+    from controlanimate_tpu.models.upscaler import Upscaler
+
+    ckpt = _synth_rrdb_ckpt()
+    x = jnp.asarray(
+        (np.random.RandomState(1).rand(1, 512, 512, 3) * 255).astype(np.uint8))
+    for flag in ("1", "0"):
+        os.environ["CONTROLANIMATE_UP_KERNEL"] = flag
+        u = Upscaler(4.0, model_path=ckpt, num_block=6, dtype=jnp.bfloat16)
+        timeit(f"warm rrdb [up_kernel={flag}]", u.upscale_batch_device, x, iters=2)
+        # streamed: dispatch N frames back-to-back, sync once — the product
+        # rate (the orchestrator defers emit past the next dispatch), hides
+        # the per-program tunnel launch gap that best-of-sync measures
+        n = 8
+        t0 = time.time()
+        outs = [u.upscale_batch_device(x) for _ in range(n)]
+        for o in outs:
+            float(o.astype(jnp.float32).sum())
+        log(f"rrdb streamed x{n} [up_kernel={flag}]: "
+            f"{(time.time() - t0) * 1000 / n:.2f} ms/frame")
+        log(f"--- device op table, up_kernel={flag}")
+        _device_op_table(lambda: u.upscale_batch_device(x), n=2)
+    # realistic window batch: the orchestrator hands the upscaler a window's
+    # novel frames at once; the split's two launch floors amortize over the
+    # body/tail chunk sizes (body 8, tail ~4 at 512->2048)
+    xb = jnp.asarray(
+        (np.random.RandomState(2).rand(8, 512, 512, 3) * 255).astype(np.uint8))
+    # emit=fine dropped: Mosaic can't lower the px lane interleave on real
+    # TPU ("Only 2D gather is supported", /tmp/tpu_upsplit4_r5.log)
+    for flag, emit in (("1", "rows"), ("0", ""), ("1", "rows")):
+        os.environ["CONTROLANIMATE_UP_KERNEL"] = flag
+        os.environ["CONTROLANIMATE_UPK_EMIT"] = emit or "rows"
+        u = Upscaler(4.0, model_path=ckpt, num_block=6, dtype=jnp.bfloat16)
+        t = timeit(f"rrdb batch8 512->2048 [up_kernel={flag} emit={emit or '-'}]",
+                   u.upscale_batch_device, xb, iters=3)
+        log(f"  => per-frame {t * 1000 / 8:.2f} ms")
+    os.environ.pop("CONTROLANIMATE_UP_KERNEL", None)
+    os.environ.pop("CONTROLANIMATE_UPK_EMIT", None)
+
+
 def bench_denacct():
     """Denoise MFU accounting (VERDICT r4 next #5): turn 'denoise is near
     the floor' into arithmetic. Traces the F=24 LCM 4-step denoise program,
@@ -1887,6 +1974,8 @@ if __name__ == "__main__":
         bench_upconv()
     if "denacct" in which:
         bench_denacct()
+    if "upktrace" in which:
+        bench_upktrace()
     if "banded" in which:
         bench_banded()
     if "attnxl" in which:

@@ -192,3 +192,20 @@ def test_rdb_s2d_form_matches_concat_form():
         {"params": params}, jnp.asarray(x_odd))
     np.testing.assert_allclose(np.asarray(a_odd), np.asarray(b_odd),
                                atol=3e-5, rtol=1e-5)
+
+
+def test_upscaler_split_pallas_tail_matches_full(synthetic_ckpt, monkeypatch):
+    """CONTROLANIMATE_UP_KERNEL=force drives the product two-program path
+    (body jit + Pallas-tail jit, interpret kernels on CPU) through both
+    facade entries; output matches the single-program XLA path to the u8
+    rounding boundary."""
+    frames = (np.random.RandomState(3).rand(2, 8, 8, 3) * 255).astype(np.uint8)
+    monkeypatch.setenv("CONTROLANIMATE_UP_KERNEL", "0")
+    ref = Upscaler(4.0, model_path=synthetic_ckpt, num_block=1).upscale_batch(frames)
+    monkeypatch.setenv("CONTROLANIMATE_UP_KERNEL", "force")
+    up = Upscaler(4.0, model_path=synthetic_ckpt, num_block=1)
+    assert up._split_ok(8, 8)
+    got = up.upscale_batch(frames)
+    assert np.abs(got.astype(np.int16) - ref.astype(np.int16)).max() <= 1
+    dev = np.asarray(up.upscale_batch_device(jnp.asarray(frames)))
+    assert np.abs(dev.astype(np.int16) - ref.astype(np.int16)).max() <= 1
