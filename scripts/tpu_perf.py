@@ -7,6 +7,7 @@ Usage: python scripts/tpu_perf.py [attn] [unet] [vae] [window]
 from __future__ import annotations
 
 import dataclasses
+import os
 import sys
 import time
 from pathlib import Path
@@ -1620,28 +1621,31 @@ def bench_denacct():
     import bench
     from controlanimate_tpu.pipelines.engine import WindowStatic
 
-    F, size, steps = 24, 512, 4
+    F, size, steps, ov = 24, 512, 4, 8
+    if os.environ.get("CONTROLANIMATE_DENACCT_SMALL"):  # CPU smoke of the probe path
+        F, size, ov = 2, 128, 1
     cfg = bench.RunConfig(
-        width=size, height=size, frame_count=F, overlap_length=8,
+        width=size, height=size, frame_count=F, overlap_length=ov,
         use_lcm=True, steps=steps, guidance_scale=7.5, strength=0.9,
         overlap_strength=0.9, lcm_origin_steps=50, prompt="a cat",
         n_prompt="", seed=7, dtype="bfloat16",
     )
     pipeline = bench.build_pipeline(cfg)
     eng = pipeline.engine
-    st = WindowStatic(
-        scheduler_name="LCMScheduler", steps=steps, guidance_scale=7.5,
-        strength=0.9, frame_count=F, height=size, width=size,
-        lcm_origin_steps=50,
-    )
+    # address the engine's ALREADY-COMPILED shipped program (native-LCM,
+    # no-CFG, w-embedding) exactly like bench.measure_mfu — a hand-built
+    # WindowStatic that misses a field (e.g. use_lcm) silently measures a
+    # different program (first capture measured the CFG-doubled one: 1743ms)
+    st = pipeline.window_static(overlaps=0, has_input_frames=True)
     sched = eng.build_scheduler(st)
     denoise = eng._make_denoise_fn(st, sched)
     key = jax.random.PRNGKey(0)
-    text = jax.random.normal(key, (1, 77, 768), jnp.bfloat16)
+    d_ctx = eng.m.unet.config.cross_attention_dim
+    text = jax.random.normal(key, (1, 77, d_ctx), jnp.bfloat16)
     lat = jax.random.normal(key, (1, F, size // 8, size // 8, 4), jnp.float32)
     args = (eng.m.unet_params, (), text, (), lat, key)
 
-    jd = jax.jit(denoise)
+    jd = denoise
     t_meas = timeit("denoise F=24 LCM4", jd, *args, iters=3)
 
     # --- fusion -> metadata map from the compiled HLO text ---------------
@@ -1676,16 +1680,18 @@ def bench_denacct():
         names = " ".join(o[1] for o in ops)
         codes = {o[0] for o in ops}
         has_dot = "dot" in codes or "convolution" in codes
-        if "convolution" in codes and "motion" not in names:
-            return "conv (resnets/proj/conv_in-out)"
         if "motion_modules" in names:
             return "motion module (VPU attn + FFN/proj)"
+        # attention first: the level-0 spatial-attn fusions carry fused 1x1
+        # projection convs, so a conv-opcode check would swallow them
         if re.search(r"attn1|attn2|attention|to_q|to_k|to_v|to_out", names):
             if "exponential" in codes or "divide" in codes:
                 return "spatial/cross attn softmax (VPU)"
             if has_dot:
-                return "spatial/cross attn matmuls (MXU, D=40 pad)"
+                return "spatial/cross attn (MXU matmuls, D=40 pad + fused projs)"
             return "spatial/cross attn other"
+        if "convolution" in codes:
+            return "conv (resnets/proj/conv_in-out)"
         if re.search(r"ff|geglu|net_0|net_2|proj", names) and has_dot:
             return "FFN/GEGLU + projections (MXU)"
         if has_dot:
@@ -1695,6 +1701,18 @@ def bench_denacct():
         if re.search(r"scheduler|step|add_noise|scale_model", names):
             return "scheduler math"
         return "elementwise/other"
+
+    def scopes(name: str, k: int = 2) -> str:
+        """Representative op_name scopes for a fusion, for human-readable
+        top-N dumps (fusion.NNNN alone is opaque)."""
+        seen: list = []
+        for _, nm in comp_ops.get(fusion_calls.get(name, name), []):
+            s = "/".join(p for p in nm.split("/") if p)[:70]
+            if s and s not in seen:
+                seen.append(s)
+            if len(seen) >= k:
+                break
+        return " | ".join(seen) or "?"
 
     # --- traced device times ---------------------------------------------
     tdir = "/tmp/denacct_trace"
@@ -1715,12 +1733,43 @@ def bench_denacct():
             nm = str(e.get("args", {}).get("name", ""))
             if "TPU" in nm or "/device:" in nm or "XLA" in nm.upper():
                 dev_pids.add(e.get("pid"))
-    per_fusion: dict = collections.defaultdict(float)
+    # leaf events only: the device track nests container spans (the whole
+    # jitted program, the scan's while loop) over the fusion spans — summing
+    # every ph=X double-counts ~2x. Sweep each (pid,tid) sorted by start
+    # with an open-interval stack; an event that contains a later event is a
+    # parent and is dropped.
+    by_track: dict = collections.defaultdict(list)
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
-        per_fusion[e.get("name", "?")] += e.get("dur", 0) / 1e3
+        nm = e.get("name", "?")
+        # container spans (the jitted program, the scan loop) can sit on
+        # their own tid where interval nesting can't catch them
+        if re.match(r"(jit_|while(\.\d+)?$|body(\.\d+)?$|condition(\.\d+)?$)", nm):
+            continue
+        by_track[(e.get("pid"), e.get("tid"))].append(
+            (float(e.get("ts", 0)), float(e.get("dur", 0)), nm))
+    per_fusion: dict = collections.defaultdict(float)
+    fusion_calls_n: dict = collections.defaultdict(int)
+    for evs in by_track.values():
+        evs.sort(key=lambda t: (t[0], -t[1]))
+        stack: list = []  # (end, name, dur, is_parent[mutable])
+        def pop_until(ts):
+            while stack and stack[-1][0] <= ts + 1e-9:
+                end, name, dur, is_parent = stack.pop()
+                if not is_parent[0]:
+                    per_fusion[name] += dur / 1e3
+                    fusion_calls_n[name] += 1
+        for ts, dur, name in evs:
+            pop_until(ts)
+            for fr in stack:
+                fr[3][0] = True  # anything still open contains this event
+            stack.append((ts + dur, name, dur, [False]))
+        pop_until(float("inf"))
     total_dev = sum(per_fusion.values())
+    span_ms = max((float(e.get("dur", 0)) / 1e3 for e in events
+                   if e.get("ph") == "X" and e.get("pid") in dev_pids),
+                  default=0.0)
 
     per_comp: dict = collections.defaultdict(float)
     comp_examples: dict = collections.defaultdict(list)
@@ -1728,13 +1777,19 @@ def bench_denacct():
         c = classify(name)
         per_comp[c] += ms
         comp_examples[c].append((ms, name))
-    log(f"measured wall best {t_meas*1000:.1f} ms; device-track total "
-        f"{total_dev:.1f} ms over 1 traced call")
+    log(f"measured wall best {t_meas*1000:.1f} ms; device leaf-fusion total "
+        f"{total_dev:.1f} ms; outer program span {span_ms:.1f} ms -> "
+        f"inter-fusion scheduling gaps {max(span_ms - total_dev, 0.0):.1f} ms")
     for c, ms in sorted(per_comp.items(), key=lambda kv: -kv[1]):
         ex = sorted(comp_examples[c], reverse=True)[:3]
         log(f"  {ms:8.1f} ms ({100*ms/max(total_dev,1e-9):5.1f}%)  {c}")
         for ems, en in ex:
-            log(f"      {ems:7.2f} ms  {en[:90]}")
+            log(f"      {ems:7.2f} ms  {en[:40]:40s}  {scopes(en)}")
+    log("top fusions (summed over the scan's steps):")
+    for en, ms in sorted(per_fusion.items(), key=lambda kv: -kv[1])[:12]:
+        n = fusion_calls_n[en]
+        log(f"  {ms:8.2f} ms  x{n:<3d} ({ms/max(n,1):6.2f} ms/call)  "
+            f"{en[:36]:36s}  {scopes(en, 3)}")
 
     # --- analytic floors (exact jaxpr walks, utils/flops.py) ---------------
     from controlanimate_tpu.utils.flops import (
@@ -1922,6 +1977,11 @@ def bench_ablate():
 
 if __name__ == "__main__":
     which = set(sys.argv[1:]) or {"attn", "unet", "vae"}
+    if "cpu" in which:
+        # true CPU smoke: a plain JAX_PLATFORMS env var does NOT override
+        # the force-registered axon platform; this config update does
+        jax.config.update("jax_platforms", "cpu")
+        which.discard("cpu")
     if "cache" in which:
         # persistent compilation cache probe: run the same sweep twice in two
         # processes; if the second run's compile+first collapses, the cache
