@@ -150,7 +150,14 @@ def build_pipeline(cfg: RunConfig) -> ControlAnimatePipeline:
     (checkpoints are absent in the bench environment; weight VALUES don't
     affect step time)."""
     dtype = jnp.bfloat16
-    ucfg = UNet3DConfig(time_cond_proj_dim=256)  # full SD1.5 + LCM cond + motion v2
+    # full SD1.5 + LCM cond + motion v2; run-level program knobs (ToMe)
+    # bake in like the facade's disk build does
+    ucfg = UNet3DConfig(
+        time_cond_proj_dim=256,
+        token_merge_ratio=float(cfg.token_merge_ratio or 0.0),
+        token_merge_motion=bool(cfg.token_merge_motion),
+        token_merge_min_tokens=int(cfg.token_merge_min_tokens),
+    )
     unet = UNet3DConditionModel(ucfg, dtype=dtype)
     vae = AutoencoderKL(dtype=dtype)
 

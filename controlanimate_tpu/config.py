@@ -228,6 +228,19 @@ class RunConfig:
     # band >= frame_count-1 is also exactly dense. Opt-in approximation —
     # quantify with scripts/eval_quality.py before shipping a band
     temporal_band: int = 0
+    # ToMe-SD token merging (arXiv:2303.17604, beyond-reference
+    # acceleration): this fraction of spatial tokens merges before each
+    # level-0 self-attention and unmerges after (ops/token_merge.py).
+    # 0 = off (byte-identical program). Opt-in approximation — quantify
+    # with scripts/eval_quality.py before shipping a ratio
+    token_merge_ratio: float = 0.0
+    # extend the merge to the motion modules (frame-consistent token set,
+    # one plan per module — beyond ToMe-SD, whose SD target has no temporal
+    # module). Needs token_merge_ratio > 0
+    token_merge_motion: bool = False
+    # only merge at UNet levels with at least this many spatial tokens
+    # (4096 = level 0 only at 512px — the tomesd max_downsample analog)
+    token_merge_min_tokens: int = 4096
 
     # media
     fps: int = 15

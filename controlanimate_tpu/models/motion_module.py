@@ -324,6 +324,15 @@ class MotionModule(nn.Module):
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
     band: int = 0
+    # ToMe spatial-token merging around the temporal transformer (opt-in,
+    # RunConfig.token_merge_motion): everything between proj_in and proj_out
+    # is a per-spatial-position map, so merging the token axis (same token
+    # set for every frame, frame-mean metric) cuts the module's cost
+    # linearly in the ratio. A beyond-reference extension of ToMe-SD
+    # (arXiv:2303.17604 merges for spatial attention only — SD has no
+    # temporal module); one plan per module call, not per frame.
+    tome_ratio: float = 0.0
+    tome_min_tokens: int = 4096
 
     @nn.compact
     def __call__(self, x):
@@ -356,9 +365,11 @@ class MotionModule(nn.Module):
         h4 = x.reshape(B, F, N, C)
         nblk = pick_nblk(F, N, C, jnp.dtype(self.dtype).itemsize)
         band_active = bool(self.band) and self.band < F - 1
+        tome_active = self.tome_ratio > 0.0 and N >= self.tome_min_tokens
         use_fused = (
             motion_kernel_enabled()
             and not band_active  # fused kernel computes dense frame attention
+            and not tome_active  # merged tokens take the XLA path below
             and self.num_transformer_block == 1
             and len(self.attention_block_types) == 2
             and nblk is not None
@@ -408,6 +419,26 @@ class MotionModule(nn.Module):
         h = flat * a[:, None, :] + b[:, None, :]
         h = _dense(h, win, bin_, self.dtype)
         h = h.reshape(B, F, N, C)
+        if tome_active:
+            from ..ops.token_merge import build_merge
+
+            # one plan per module call: frame-mean metric, identical token
+            # set merged in every frame (the temporal attention mixes frames
+            # per position, so the partition must be frame-consistent). The
+            # merge closures are channel-agnostic, so a (B, N, F*C) view
+            # merges all frames in one gather/scatter.
+            metric = h.mean(axis=1)  # (B, N, C)
+            merge, unmerge, n_merged = build_merge(
+                metric, H, W, self.tome_ratio
+            )
+            hv = h.transpose(0, 2, 1, 3).reshape(B, N, F * C)
+            hm = merge(hv).reshape(B, n_merged, F, C).transpose(0, 2, 1, 3)
+            for blk in blocks:
+                hm = blk(hm)
+            hm = _dense(hm, wout, bout, self.dtype)
+            yv = hm.transpose(0, 2, 1, 3).reshape(B, n_merged, F * C)
+            y = unmerge(yv).reshape(B, N, F, C).transpose(0, 2, 1, 3)
+            return x + y.reshape(B, F, H, W, C)
         for blk in blocks:
             h = blk(h)
         h = _dense(h, wout, bout, self.dtype)

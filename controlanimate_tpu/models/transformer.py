@@ -26,6 +26,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.token_merge import build_merge
 from .layers import LayerNorm32, Attention, FeedForward, GroupNorm
 from .resnet3d import fold_frames, unfold_frames
 
@@ -54,17 +55,42 @@ class BasicTransformerBlock(nn.Module):
     upcast_attention: bool = False
     cross_frame: bool = False
     temporal_attention: bool = False
+    # ToMe-SD token merging on the self-attention (ops/token_merge.py):
+    # fraction of tokens removed before attn1 when the grid is at least
+    # tome_min_tokens (level-0 only by default). 0 = byte-identical off.
+    tome_ratio: float = 0.0
+    tome_min_tokens: int = 4096
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context, ip_scale=1.0, frames=1):
+    def __call__(self, x, context, ip_scale=1.0, frames=1, hw=None):
         dim = x.shape[-1]
         h = LayerNorm32(name="norm1")(x)
         kv = sparse_causal_kv(h, frames) if (self.cross_frame and frames > 1) else None
-        x = x + Attention(
+        attn1 = Attention(
             dim, self.heads, self.dim_head, name="attn1",
             upcast_attention=self.upcast_attention, dtype=self.dtype,
-        )(h, encoder_hidden_states=kv)
+        )
+        use_tome = (
+            self.tome_ratio > 0.0
+            and kv is None
+            and hw is not None
+            and x.shape[1] >= self.tome_min_tokens
+        )
+        if use_tome:
+            from ..ops.attention import force_flash
+
+            merge, unmerge, _ = build_merge(x, hw[0], hw[1], self.tome_ratio)
+            # the merged (non-power-of-4096) shape flips XLA's attention
+            # cost model into materializing the f32 logits to HBM (traced:
+            # softmax fusion with no dot at 5.2 ms/call — as slow as the
+            # UNMERGED fused form); the flash kernel keeps the chain
+            # VMEM-tiled regardless of shape
+            with force_flash(True):
+                a = attn1(merge(h))
+            x = x + unmerge(a)
+        else:
+            x = x + attn1(h, encoder_hidden_states=kv)
         h = LayerNorm32(name="norm2")(x)
         x = x + Attention(
             dim, self.heads, self.dim_head,
@@ -110,6 +136,8 @@ class SpatialTransformer(nn.Module):
     upcast_attention: bool = False
     cross_frame: bool = False
     temporal_attention: bool = False
+    tome_ratio: float = 0.0
+    tome_min_tokens: int = 4096
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
@@ -137,9 +165,11 @@ class SpatialTransformer(nn.Module):
                 upcast_attention=self.upcast_attention,
                 cross_frame=self.cross_frame,
                 temporal_attention=self.temporal_attention,
+                tome_ratio=self.tome_ratio,
+                tome_min_tokens=self.tome_min_tokens,
                 name=f"transformer_blocks_{i}",
                 dtype=self.dtype,
-            )(h, ctx, ip_scale=ip_scale, frames=F)
+            )(h, ctx, ip_scale=ip_scale, frames=F, hw=(H, W))
 
         h = h.reshape(B * F, H, W, inner)
         h = nn.Conv(C, (1, 1), name="proj_out", dtype=self.dtype)(h)

@@ -75,6 +75,13 @@ class UNet3DConfig:
     # extra frame-axis attn sublayer after each spatial block's FFN
     # (`unet_use_temporal_attention`, reference attention.py:240-251)
     temporal_attention: bool = False
+    # ToMe-SD token merging on spatial self-attention (opt-in approximation,
+    # RunConfig.token_merge_ratio -> facade bakes it here; 0 = exact/off)
+    token_merge_ratio: float = 0.0
+    token_merge_min_tokens: int = 4096
+    # extend the merge to the motion modules' token axis (beyond ToMe-SD;
+    # RunConfig.token_merge_motion — needs token_merge_ratio > 0)
+    token_merge_motion: bool = False
 
     @staticmethod
     def from_arch(
@@ -123,6 +130,11 @@ class UNet3DConditionModel(nn.Module):
             name=name,
             dtype=self.dtype,
             band=m.attention_band,
+            tome_ratio=(
+                self.config.token_merge_ratio
+                if self.config.token_merge_motion else 0.0
+            ),
+            tome_min_tokens=self.config.token_merge_min_tokens,
         )
 
     def _spatial(self, ch: int, name: str):
@@ -135,6 +147,8 @@ class UNet3DConditionModel(nn.Module):
             upcast_attention=cfg.upcast_attention,
             cross_frame=cfg.cross_frame_attention,
             temporal_attention=cfg.temporal_attention,
+            tome_ratio=cfg.token_merge_ratio,
+            tome_min_tokens=cfg.token_merge_min_tokens,
             groups=cfg.norm_num_groups,
             name=name,
             dtype=self.dtype,

@@ -557,10 +557,13 @@ class AnimationEngine:
             # UNet call and is deliberately not counted).
             from ..ops import attention as attn_mod
 
-            big_window = (
-                latents.shape[0] * latents.shape[1] >= 32
-                and latents.shape[2] * latents.shape[3] >= 64 * 64
-            )
+            # bytes-based: B·F·heads·N²·2 (bf16 logits). 512px thresholds
+            # unchanged (F=24 = 6.4GB fits and XLA measures faster, F=32 =
+            # 8.6GB OOMs -> flash), and high-res windows (768px F=16 =
+            # 21.7GB) now force flash too instead of OOMing
+            n_tok = latents.shape[2] * latents.shape[3]
+            logits_bytes = latents.shape[0] * latents.shape[1] * 8 * n_tok * n_tok * 2
+            big_window = logits_bytes >= 7_000_000_000
             # only ENTER the context when forcing: force_flash(False) would
             # overwrite an outer force_flash(True) (e.g. a measurement
             # harness A/B-ing the kernels) for the whole scan trace

@@ -88,6 +88,12 @@ class ControlAnimatePipeline:
             if Path(config.inference_config_path).exists()
             else ArchConfig()
         )
+        if config.token_merge_ratio and not 0.0 < float(config.token_merge_ratio) < 1.0:
+            raise ValueError(
+                f"token_merge_ratio={config.token_merge_ratio} out of range "
+                "(0, 1); it is the fraction of spatial tokens merged before "
+                "self-attention (ops/token_merge.py)"
+            )
         if config.temporal_band:
             # runtime opt-in (RunConfig.temporal_band) overrides the arch
             # yaml's band: banded temporal attention is a run-level speed
@@ -157,6 +163,26 @@ class ControlAnimatePipeline:
                     "construct the UNet with the matching "
                     "MotionModuleConfig.attention_band (disk builds do this "
                     "automatically)"
+                )
+            got_tr = float(models.unet.config.token_merge_ratio)
+            if bool(config.token_merge_motion) != bool(
+                models.unet.config.token_merge_motion
+            ):
+                raise ValueError(
+                    f"RunConfig.token_merge_motion={config.token_merge_motion} "
+                    "but the provided UNet was built with "
+                    f"token_merge_motion={models.unet.config.token_merge_motion}; "
+                    "bake the flag into UNet3DConfig (disk builds do this "
+                    "automatically)"
+                )
+            if float(config.token_merge_ratio) != got_tr:
+                # same bake-at-construction contract as temporal_band
+                raise ValueError(
+                    f"RunConfig.token_merge_ratio={config.token_merge_ratio} "
+                    f"but the provided UNet was built with "
+                    f"token_merge_ratio={got_tr}; construct the UNet with the "
+                    "matching UNet3DConfig.token_merge_ratio (disk builds do "
+                    "this automatically)"
                 )
         else:
             self._build_from_disk()
@@ -353,6 +379,16 @@ class ControlAnimatePipeline:
         # controlanimate_pipeline.py:44-45 passes unet_additional_kwargs in
         # both branches)
         ucfg = UNet3DConfig.from_arch(self.arch, unet_json, ip_tokens=ip_tokens)
+        if cfg.token_merge_ratio:
+            # run-level speed knob like temporal_band: baked into the traced
+            # program, not a property of the pretrained weights (range
+            # validated in __init__)
+            ucfg = _dc_replace(
+                ucfg,
+                token_merge_ratio=float(cfg.token_merge_ratio),
+                token_merge_motion=bool(cfg.token_merge_motion),
+                token_merge_min_tokens=int(cfg.token_merge_min_tokens),
+            )
         unet = UNet3DConditionModel(ucfg, dtype=self.dtype)
         init_params = self._init_unet_params(unet, ucfg)
         unet_params, missing = unet_params_from_torch(

@@ -1602,6 +1602,112 @@ def bench_upktrace():
     os.environ.pop("CONTROLANIMATE_UPK_EMIT", None)
 
 
+def _fusion_scope_maps(hlo: str):
+    """Parse compiled HLO text into (comp_ops, fusion_calls): per-computation
+    (opcode, op_name-metadata) lists and the fusion->computation call map, so
+    trace event names (fusion.NNNN) resolve to model-scope paths."""
+    import collections
+    import re
+
+    comp_ops: dict = collections.defaultdict(list)
+    cur = None
+    for line in hlo.splitlines():
+        mdef = re.match(r"\s*(?:ENTRY\s+)?%?([\w.\-]+)\s*\(", line) if "{" in line else None
+        if mdef and line.rstrip().endswith("{"):
+            cur = mdef.group(1)
+            continue
+        if line.strip() == "}":
+            cur = None
+            continue
+        if cur is None:
+            continue
+        om = re.search(r"op_name=\"([^\"]+)\"", line)
+        opm = re.match(r"\s*(?:ROOT\s+)?%?[\w.\-]+\s*=\s*[^ ]+\s+(\w+)", line)
+        opcode = opm.group(1) if opm else ""
+        if om or opcode:
+            comp_ops[cur].append((opcode, om.group(1) if om else ""))
+    fusion_calls = dict(re.findall(
+        r"%?([\w.\-]+)\s*=\s*[^=]*fusion\([^)]*\).*?calls=%?([\w.\-]+)", hlo))
+    return comp_ops, fusion_calls
+
+
+def _scopes_fn(comp_ops, fusion_calls):
+    def scopes(name: str, k: int = 2) -> str:
+        seen: list = []
+        for _, nm in comp_ops.get(fusion_calls.get(name, name), []):
+            s = "/".join(p for p in nm.split("/") if p)[:70]
+            if s and s not in seen:
+                seen.append(s)
+            if len(seen) >= k:
+                break
+        return " | ".join(seen) or "?"
+    return scopes
+
+
+def _leaf_fusion_trace(run_once, tdir: str):
+    """Trace one call and return (per_fusion ms, per_fusion counts, span_ms).
+
+    Leaf events only: the device track nests container spans (the whole
+    jitted program, the scan's while loop) over the fusion spans — summing
+    every ph=X double-counts ~2x. Sweep each (pid,tid) sorted by start with
+    an open-interval stack; an event that contains a later event is a
+    parent and is dropped. Container names (jit_*/while/body/condition) are
+    also excluded by name for tracks where nesting can't catch them."""
+    import collections
+    import glob
+    import gzip
+    import json as _json
+    import re
+
+    jax.profiler.start_trace(tdir)
+    run_once()
+    jax.profiler.stop_trace()
+    paths = sorted(glob.glob(f"{tdir}/**/*.trace.json.gz", recursive=True))
+    if not paths:
+        return {}, {}, 0.0
+    with gzip.open(paths[-1], "rt") as f:
+        trace = _json.load(f)
+    events = trace.get("traceEvents", [])
+    dev_pids = set()
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            nm = str(e.get("args", {}).get("name", ""))
+            if "TPU" in nm or "/device:" in nm or "XLA" in nm.upper():
+                dev_pids.add(e.get("pid"))
+    by_track: dict = collections.defaultdict(list)
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        nm = e.get("name", "?")
+        if re.match(r"(jit_|while(\.\d+)?$|body(\.\d+)?$|condition(\.\d+)?$)", nm):
+            continue
+        by_track[(e.get("pid"), e.get("tid"))].append(
+            (float(e.get("ts", 0)), float(e.get("dur", 0)), nm))
+    per_fusion: dict = collections.defaultdict(float)
+    counts: dict = collections.defaultdict(int)
+    for evs in by_track.values():
+        evs.sort(key=lambda t: (t[0], -t[1]))
+        stack: list = []  # (end, name, dur, is_parent[mutable])
+
+        def pop_until(ts):
+            while stack and stack[-1][0] <= ts + 1e-9:
+                end, name, dur, is_parent = stack.pop()
+                if not is_parent[0]:
+                    per_fusion[name] += dur / 1e3
+                    counts[name] += 1
+
+        for ts, dur, name in evs:
+            pop_until(ts)
+            for fr in stack:
+                fr[3][0] = True  # anything still open contains this event
+            stack.append((ts + dur, name, dur, [False]))
+        pop_until(float("inf"))
+    span_ms = max((float(e.get("dur", 0)) / 1e3 for e in events
+                   if e.get("ph") == "X" and e.get("pid") in dev_pids),
+                  default=0.0)
+    return per_fusion, counts, span_ms
+
+
 def bench_denacct():
     """Denoise MFU accounting (VERDICT r4 next #5): turn 'denoise is near
     the floor' into arithmetic. Traces the F=24 LCM 4-step denoise program,
@@ -1611,15 +1717,9 @@ def bench_denacct():
     floors (MXU-useful FLOPs, the D=40->128 attention pad, softmax VPU,
     norm/elementwise HBM traffic)."""
     import collections
-    import glob
-    import gzip
-    import json as _json
     import re
 
-    import numpy as np
-
     import bench
-    from controlanimate_tpu.pipelines.engine import WindowStatic
 
     F, size, steps, ov = 24, 512, 4, 8
     if os.environ.get("CONTROLANIMATE_DENACCT_SMALL"):  # CPU smoke of the probe path
@@ -1646,34 +1746,12 @@ def bench_denacct():
     args = (eng.m.unet_params, (), text, (), lat, key)
 
     jd = denoise
-    t_meas = timeit("denoise F=24 LCM4", jd, *args, iters=3)
+    smoke = bool(os.environ.get("CONTROLANIMATE_DENACCT_SMALL"))
+    t_meas = timeit("denoise F=24 LCM4", jd, *args, iters=1 if smoke else 3)
 
     # --- fusion -> metadata map from the compiled HLO text ---------------
     hlo = jd.lower(*args).compile().as_text()
-    # computation bodies: "%fused_computation.N { ... }" called by
-    # "%fusion.N = fusion(...), calls=%fused_computation.N"; collect the
-    # metadata op_names + opcodes inside each computation
-    comp_ops: dict = collections.defaultdict(list)
-    cur = None
-    for line in hlo.splitlines():
-        m = re.match(r"\s*%?([\w.\-]+)\s*(?:\([^)]*\))?\s*->?.*\{\s*$", line) \
-            if "{" in line else None
-        mdef = re.match(r"\s*(?:ENTRY\s+)?%?([\w.\-]+)\s*\(", line) if "{" in line else None
-        if mdef and line.rstrip().endswith("{"):
-            cur = mdef.group(1)
-            continue
-        if line.strip() == "}":
-            cur = None
-            continue
-        if cur is None:
-            continue
-        om = re.search(r"op_name=\"([^\"]+)\"", line)
-        opm = re.match(r"\s*(?:ROOT\s+)?%?[\w.\-]+\s*=\s*[^ ]+\s+(\w+)", line)
-        opcode = opm.group(1) if opm else ""
-        if om or opcode:
-            comp_ops[cur].append((opcode, om.group(1) if om else ""))
-    fusion_calls = dict(re.findall(
-        r"%?([\w.\-]+)\s*=\s*[^=]*fusion\([^)]*\).*?calls=%?([\w.\-]+)", hlo))
+    comp_ops, fusion_calls = _fusion_scope_maps(hlo)
 
     def classify(name: str) -> str:
         ops = comp_ops.get(fusion_calls.get(name, name), [])
@@ -1702,74 +1780,19 @@ def bench_denacct():
             return "scheduler math"
         return "elementwise/other"
 
-    def scopes(name: str, k: int = 2) -> str:
-        """Representative op_name scopes for a fusion, for human-readable
-        top-N dumps (fusion.NNNN alone is opaque)."""
-        seen: list = []
-        for _, nm in comp_ops.get(fusion_calls.get(name, name), []):
-            s = "/".join(p for p in nm.split("/") if p)[:70]
-            if s and s not in seen:
-                seen.append(s)
-            if len(seen) >= k:
-                break
-        return " | ".join(seen) or "?"
+    scopes = _scopes_fn(comp_ops, fusion_calls)
 
     # --- traced device times ---------------------------------------------
-    tdir = "/tmp/denacct_trace"
-    jax.profiler.start_trace(tdir)
-    out = jd(*args)
-    float(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32).sum())
-    jax.profiler.stop_trace()
-    paths = sorted(glob.glob(f"{tdir}/**/*.trace.json.gz", recursive=True))
-    if not paths:
+    def run_once():
+        out = jd(*args)
+        float(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32).sum())
+
+    per_fusion, fusion_calls_n, span_ms = _leaf_fusion_trace(
+        run_once, "/tmp/denacct_trace")
+    if not per_fusion:
         log("no trace captured")
         return
-    with gzip.open(paths[-1], "rt") as f:
-        trace = _json.load(f)
-    events = trace.get("traceEvents", [])
-    dev_pids = set()
-    for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            nm = str(e.get("args", {}).get("name", ""))
-            if "TPU" in nm or "/device:" in nm or "XLA" in nm.upper():
-                dev_pids.add(e.get("pid"))
-    # leaf events only: the device track nests container spans (the whole
-    # jitted program, the scan's while loop) over the fusion spans — summing
-    # every ph=X double-counts ~2x. Sweep each (pid,tid) sorted by start
-    # with an open-interval stack; an event that contains a later event is a
-    # parent and is dropped.
-    by_track: dict = collections.defaultdict(list)
-    for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
-            continue
-        nm = e.get("name", "?")
-        # container spans (the jitted program, the scan loop) can sit on
-        # their own tid where interval nesting can't catch them
-        if re.match(r"(jit_|while(\.\d+)?$|body(\.\d+)?$|condition(\.\d+)?$)", nm):
-            continue
-        by_track[(e.get("pid"), e.get("tid"))].append(
-            (float(e.get("ts", 0)), float(e.get("dur", 0)), nm))
-    per_fusion: dict = collections.defaultdict(float)
-    fusion_calls_n: dict = collections.defaultdict(int)
-    for evs in by_track.values():
-        evs.sort(key=lambda t: (t[0], -t[1]))
-        stack: list = []  # (end, name, dur, is_parent[mutable])
-        def pop_until(ts):
-            while stack and stack[-1][0] <= ts + 1e-9:
-                end, name, dur, is_parent = stack.pop()
-                if not is_parent[0]:
-                    per_fusion[name] += dur / 1e3
-                    fusion_calls_n[name] += 1
-        for ts, dur, name in evs:
-            pop_until(ts)
-            for fr in stack:
-                fr[3][0] = True  # anything still open contains this event
-            stack.append((ts + dur, name, dur, [False]))
-        pop_until(float("inf"))
     total_dev = sum(per_fusion.values())
-    span_ms = max((float(e.get("dur", 0)) / 1e3 for e in events
-                   if e.get("ph") == "X" and e.get("pid") in dev_pids),
-                  default=0.0)
 
     per_comp: dict = collections.defaultdict(float)
     comp_examples: dict = collections.defaultdict(list)
@@ -1805,6 +1828,166 @@ def bench_denacct():
     log(f"accounting: measured {t_meas*1000:.1f} ms = padded-MXU floor "
         f"{f_padded/peak*1e3:.1f} ms + VPU/HBM components from the table "
         f"above (softmax, norms, elementwise) + scheduling gaps")
+
+
+def bench_tome():
+    """ToMe-SD token merging in-context A/B (the denacct follow-up:
+    perf/denacct_r5.json proved the level-0 spatial attns are at their
+    per-kernel floor, so only token-count reduction moves the 455 ms attn
+    slice). Measures the SHIPPED F=24 LCM denoise program vs
+    token_merge_ratio 0.3 / 0.5 (ops/token_merge.py), same random weights
+    (bench.build_pipeline seeds PRNGKey(0) identically), plus decoded-frame
+    SSIM vs the exact run — adversarial on random weights, same caveat as
+    the encoder-propagation bench line."""
+    import numpy as np
+
+    import bench
+    from scripts.eval_quality import psnr, ssim
+
+    F, size, steps = 24, 512, 4
+    base = dict(
+        width=size, height=size, frame_count=F, overlap_length=8,
+        use_lcm=True, steps=steps, guidance_scale=7.5, strength=0.9,
+        overlap_strength=0.9, lcm_origin_steps=50, prompt="a cat",
+        n_prompt="", seed=7, dtype="bfloat16",
+    )
+    key = jax.random.PRNGKey(0)
+    times, frames_by_ratio = {}, {}
+    arms = [(0.0, False), (0.3, False), (0.5, False), (0.5, True)]
+    for ratio, motion in arms:
+        cfg = bench.RunConfig(**base, token_merge_ratio=ratio,
+                              token_merge_motion=motion)
+        p = bench.build_pipeline(cfg)
+        eng = p.engine
+        st = p.window_static(overlaps=0, has_input_frames=True)
+        sched = eng.build_scheduler(st)
+        denoise = eng._make_denoise_fn(st, sched)
+        decode = eng._make_decode_fn(st.output_uint8, st.decode_chunk)
+        d_ctx = eng.m.unet.config.cross_attention_dim
+        text = jax.random.normal(key, (1, 77, d_ctx), jnp.bfloat16)
+        lat = jax.random.normal(key, (1, F, size // 8, size // 8, 4), jnp.float32)
+        args = (eng.m.unet_params, (), text, (), lat, key)
+        arm = (ratio, motion)
+        times[arm] = timeit(
+            f"tome denoise F=24 LCM4 ratio={ratio} motion={motion}",
+            denoise, *args, iters=3)
+        lat2 = denoise(*args)
+        frames_by_ratio[arm] = np.asarray(
+            jax.device_get(decode(eng.m.vae_params, lat2))
+        )
+        del p, eng, denoise, decode, lat2  # free HBM before the next build
+
+    exact = (0.0, False)
+    f0 = frames_by_ratio[exact]
+    for arm in arms[1:]:
+        fr = frames_by_ratio[arm]
+        pairs = list(zip(f0.reshape((-1,) + f0.shape[-3:]),
+                         fr.reshape((-1,) + fr.shape[-3:])))
+        s = float(np.mean([ssim(a, b) for a, b in pairs]))
+        pn = float(np.mean([psnr(a, b) for a, b in pairs]))
+        log(f"tome ratio={arm[0]} motion={arm[1]}: denoise "
+            f"{times[arm]*1e3:.1f} ms "
+            f"({times[exact]/times[arm]:.2f}x vs exact {times[exact]*1e3:.1f}); "
+            f"SSIM {s:.4f} PSNR {pn:.2f} dB vs exact decode "
+            f"(RANDOM weights: adversarial worst case — token similarity "
+            f"structure of trained UNet features is absent)")
+
+
+def bench_tomehi():
+    """ToMe at HIGH resolution — where it should win. At 512px (N=4096)
+    level-0 attention is ~19% of denoise and the merge's data movement eats
+    the saving (bench_tome: parity). Attention cost scales N² while merge
+    overhead scales N, so at 768px (N=9216, flash-forced for both arms by
+    the engine's HBM rule — exact XLA logits would be 21.7GB) the balance
+    flips. F=16 LCM 4-step, exact vs ratio 0.5 vs 0.5+motion."""
+    import numpy as np
+
+    import bench
+
+    F, size, steps = 16, 768, 4
+    base = dict(
+        width=size, height=size, frame_count=F, overlap_length=8,
+        use_lcm=True, steps=steps, guidance_scale=7.5, strength=0.9,
+        overlap_strength=0.9, lcm_origin_steps=50, prompt="a cat",
+        n_prompt="", seed=7, dtype="bfloat16",
+    )
+    key = jax.random.PRNGKey(0)
+    times = {}
+    for ratio, motion in [(0.0, False), (0.5, False), (0.5, True)]:
+        cfg = bench.RunConfig(**base, token_merge_ratio=ratio,
+                              token_merge_motion=motion)
+        p = bench.build_pipeline(cfg)
+        eng = p.engine
+        st = p.window_static(overlaps=0, has_input_frames=True)
+        denoise = eng._make_denoise_fn(st, eng.build_scheduler(st))
+        d_ctx = eng.m.unet.config.cross_attention_dim
+        text = jax.random.normal(key, (1, 77, d_ctx), jnp.bfloat16)
+        lat = jax.random.normal(key, (1, F, size // 8, size // 8, 4), jnp.float32)
+        args = (eng.m.unet_params, (), text, (), lat, key)
+        times[(ratio, motion)] = timeit(
+            f"tomehi denoise F=16 768px ratio={ratio} motion={motion}",
+            denoise, *args, iters=3)
+        del p, eng, denoise
+    exact = times[(0.0, False)]
+    for arm, t in times.items():
+        log(f"tomehi {arm}: {t*1e3:.1f} ms ({exact/t:.2f}x vs exact)")
+
+
+def bench_tometrace():
+    """Trace the token_merge_ratio=0.5 F=24 LCM denoise program: the A/B
+    (bench_tome) measured it NET SLOWER than exact (1222 vs 1108 ms) with
+    overhead growing in r — find where the plan/merge overhead goes
+    (sim matmul / argsort / scatter-add / gathers) before optimizing."""
+    import bench
+
+    F, size, steps = 24, 512, 4
+    cfg = bench.RunConfig(
+        width=size, height=size, frame_count=F, overlap_length=8,
+        use_lcm=True, steps=steps, guidance_scale=7.5, strength=0.9,
+        overlap_strength=0.9, lcm_origin_steps=50, prompt="a cat",
+        n_prompt="", seed=7, dtype="bfloat16",
+        token_merge_ratio=float(os.environ.get("CONTROLANIMATE_TOME_RATIO", "0.5")),
+    )
+    p = bench.build_pipeline(cfg)
+    eng = p.engine
+    st = p.window_static(overlaps=0, has_input_frames=True)
+    denoise = eng._make_denoise_fn(st, eng.build_scheduler(st))
+    key = jax.random.PRNGKey(0)
+    d_ctx = eng.m.unet.config.cross_attention_dim
+    text = jax.random.normal(key, (1, 77, d_ctx), jnp.bfloat16)
+    lat = jax.random.normal(key, (1, F, size // 8, size // 8, 4), jnp.float32)
+    args = (eng.m.unet_params, (), text, (), lat, key)
+    t = timeit(f"tome denoise ratio={cfg.token_merge_ratio}", denoise, *args, iters=3)
+
+    comp_ops, fusion_calls = _fusion_scope_maps(
+        denoise.lower(*args).compile().as_text())
+    scopes = _scopes_fn(comp_ops, fusion_calls)
+
+    def run_once():
+        out = denoise(*args)
+        float(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32).sum())
+
+    per_fusion, counts, span_ms = _leaf_fusion_trace(run_once, "/tmp/tometrace")
+    total = sum(per_fusion.values())
+    log(f"wall {t*1e3:.1f} ms; device leaf total {total:.1f} ms; span {span_ms:.1f}")
+    log("top fusions:")
+    for en, ms in sorted(per_fusion.items(), key=lambda kv: -kv[1])[:30]:
+        ops = comp_ops.get(fusion_calls.get(en, en), [])
+        codes = sorted({o[0] for o in ops if o[0]})[:8]
+        log(f"  {ms:8.2f} ms x{counts[en]:<3d} ({ms/max(counts[en],1):6.2f}/call) "
+            f"{en[:34]:34s} [{','.join(codes)[:60]}] {scopes(en)}")
+    # aggregate by opcode family for the tome ops specifically
+    agg: dict = {}
+    for en, ms in per_fusion.items():
+        ops = comp_ops.get(fusion_calls.get(en, en), [])
+        codes = {o[0] for o in ops}
+        fam = ("sort" if "sort" in codes else
+               "scatter" if "scatter" in codes else
+               "gather" if "gather" in codes else
+               "dot/conv" if codes & {"dot", "convolution"} else "other")
+        agg[fam] = agg.get(fam, 0.0) + ms
+    log("by family: " + "  ".join(f"{k} {v:.1f}ms" for k, v in
+                                  sorted(agg.items(), key=lambda kv: -kv[1])))
 
 
 def bench_upscale4():
@@ -2034,6 +2217,12 @@ if __name__ == "__main__":
         bench_upconv()
     if "denacct" in which:
         bench_denacct()
+    if "tome" in which:
+        bench_tome()
+    if "tometrace" in which:
+        bench_tometrace()
+    if "tomehi" in which:
+        bench_tomehi()
     if "upktrace" in which:
         bench_upktrace()
     if "banded" in which:
