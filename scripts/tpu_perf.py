@@ -1904,9 +1904,11 @@ def bench_tomehi():
 
     import bench
 
-    F, size, steps = 16, 768, 4
+    geom = os.environ.get("CONTROLANIMATE_TOMEHI_GEOM", "768x768x16")
+    w, h, F = (int(v) for v in geom.split("x"))
+    steps = 4
     base = dict(
-        width=size, height=size, frame_count=F, overlap_length=8,
+        width=w, height=h, frame_count=F, overlap_length=8,
         use_lcm=True, steps=steps, guidance_scale=7.5, strength=0.9,
         overlap_strength=0.9, lcm_origin_steps=50, prompt="a cat",
         n_prompt="", seed=7, dtype="bfloat16",
@@ -1922,15 +1924,15 @@ def bench_tomehi():
         denoise = eng._make_denoise_fn(st, eng.build_scheduler(st))
         d_ctx = eng.m.unet.config.cross_attention_dim
         text = jax.random.normal(key, (1, 77, d_ctx), jnp.bfloat16)
-        lat = jax.random.normal(key, (1, F, size // 8, size // 8, 4), jnp.float32)
+        lat = jax.random.normal(key, (1, F, h // 8, w // 8, 4), jnp.float32)
         args = (eng.m.unet_params, (), text, (), lat, key)
         times[(ratio, motion)] = timeit(
-            f"tomehi denoise F=16 768px ratio={ratio} motion={motion}",
+            f"tomehi denoise F={F} {w}x{h} ratio={ratio} motion={motion}",
             denoise, *args, iters=3)
         del p, eng, denoise
     exact = times[(0.0, False)]
     for arm, t in times.items():
-        log(f"tomehi {arm}: {t*1e3:.1f} ms ({exact/t:.2f}x vs exact)")
+        log(f"tomehi {geom} {arm}: {t*1e3:.1f} ms ({exact/t:.2f}x vs exact)")
 
 
 def bench_tometrace():
